@@ -1,0 +1,2 @@
+"""Device operators: SpMV / SpMM / SDDMM over the schedule planners."""
+from loops_tpu.ops.spmv import SpMVOperator, flat_partitioned_spmv, spmv  # noqa: F401

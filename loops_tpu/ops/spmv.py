@@ -1,0 +1,314 @@
+"""SpMV — sparse matrix x dense vector across all formats and schedules.
+
+User-facing parity with the reference's 12 SpMV kernels (reference:
+include/loops/algorithms/spmv/*.cuh) re-designed TPU-first. Every
+schedule's *plan* is host precompute (loops_tpu.schedule.plans); the device
+executes static-shape, scatter-minimal XLA programs, with Pallas kernels
+for the balanced flat schedules (loops_tpu.ops.kernels).
+
+Schedule -> execution strategy (per format):
+
+* ``row_mapped``   — segmented reduction over per-atom products; the
+  analog of thread_mapped (reference: spmv/thread_mapped.cuh:31-91). For
+  dense-plane formats (ELL/DIA/BCSR) this is a pure dense reduction with
+  zero scatter.
+* ``group_mapped`` — bucketed-ELL dense row reductions over the
+  GroupMappedPlan (reference: spmv/group_mapped.cuh:31-105 pools a
+  group's atoms; here the pool is a degree-class plane).
+* ``work_oriented`` — even atom split into K-blocks, two-phase partial
+  sums + seam accumulation (reference: spmv/work_oriented.cuh:39-121,
+  whose atomicAdd seams become deterministic adds).
+* ``merge_path``   — merge-path diagonal split of (tiles+atoms); the
+  per-block <=K-atoms / <=K-row-span guarantee makes the Pallas kernel
+  fully static (reference: spmv/merge_path_flat.cuh:96-139).
+
+The ``original`` baseline (reference: spmv/original.cuh:26-76 — a raw
+grid-stride row loop with no schedule) maps to ``schedule="row_mapped"``
+since XLA owns the raw-loop tier on TPU.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from loops_tpu.formats import BCSR, COO, CSC, CSR, DIA, ELL
+from loops_tpu.layout import (
+    BcsrLayout,
+    CooLayout,
+    CsrLayout,
+    CscLayout,
+    DiaLayout,
+    EllLayout,
+    FlatRebinLayout,
+    UniformLayout,
+)
+from loops_tpu.schedule.plans import SCHEDULES, make_plan
+
+__all__ = ["spmv", "SpMVOperator", "SCHEDULES"]
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+def _segment_sum(data, ids, num_segments, sorted_ids=False):
+    import jax
+    return jax.ops.segment_sum(data, ids, num_segments=num_segments,
+                               indices_are_sorted=sorted_ids)
+
+
+class SpMVOperator:
+    """A compiled SpMV bound to one matrix: plan once, execute many.
+
+    The reference rebuilds its schedule inside every kernel launch from
+    raw pointers (free on GPU); on TPU planning is host work, so the
+    operator form makes the plan/execute split explicit.
+    """
+
+    def __init__(self, mat, schedule: str = "row_mapped",
+                 block: int = 512, impl: str = "xla"):
+        import jax
+        import jax.numpy as jnp
+
+        if schedule not in SCHEDULES:
+            raise ValueError(
+                f"unknown schedule {schedule!r}; expected one of {SCHEDULES}")
+        self.mat = mat
+        self.schedule = schedule
+        self.impl = impl
+        self.block = block
+        self.rows, self.cols = mat.shape
+        builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
+        fn = builder(mat, schedule, block, impl)
+        self._fn = jax.jit(fn)
+
+    def __call__(self, x):
+        import jax.numpy as jnp
+        return self._fn(jnp.asarray(x))
+
+    # ------------------------------------------------------------- CSR
+    def _build_csr(self, csr: CSR, schedule, block, impl):
+        jnp = _jnp()
+        rows = self.rows
+        layout = CsrLayout.from_csr(csr)
+
+        if schedule == "row_mapped":
+            plan = make_plan(layout, schedule)
+            vals = jnp.asarray(csr.vals)
+            cols = jnp.asarray(csr.indices)
+            rid = jnp.asarray(plan.atom_tile_ids)
+
+            def fn(x):
+                return _segment_sum(vals * x[cols], rid, rows,
+                                    sorted_ids=True)
+            return fn
+
+        if schedule == "group_mapped":
+            plan = make_plan(layout, schedule)
+            buckets = []
+            for b in plan.buckets:
+                buckets.append((
+                    jnp.asarray(b["tiles"]),
+                    jnp.asarray(csr.indices[b["atom_slots"]]),
+                    jnp.asarray(np.where(b["valid"],
+                                         csr.vals[b["atom_slots"]], 0)),
+                ))
+
+            def fn(x):
+                y = jnp.zeros(rows, dtype=x.dtype)
+                for tiles, idx, v in buckets:
+                    y = y.at[tiles].add((v * x[idx]).sum(axis=1))
+                return y
+            return fn
+
+        # balanced flat schedules
+        plan = make_plan(layout, schedule,
+                         **({"block_atoms": block}
+                            if schedule == "work_oriented"
+                            else {"block_work": block}))
+        if impl == "pallas":
+            from loops_tpu.ops.kernels.spmv_flat import flat_spmv_pallas
+            return flat_spmv_pallas(csr, plan)
+        return self._flat_xla(plan,
+                              vals=np.where(plan.valid,
+                                            csr.vals[plan.atom_gather], 0),
+                              gather_cols=csr.indices[plan.atom_gather],
+                              out_of_tile=None)
+
+    # ------------------------------------------------------------- COO
+    def _build_coo(self, coo: COO, schedule, block, impl):
+        jnp = _jnp()
+        rows = self.rows
+        vals = jnp.asarray(coo.vals)
+        cols = jnp.asarray(coo.cols)
+        rid = jnp.asarray(coo.rows)
+        sorted_rows = bool(np.all(np.diff(coo.rows) >= 0))
+
+        if schedule in ("row_mapped", "group_mapped"):
+            # tile == atom == nonzero: both collapse to the scatter
+            # reduction (reference: spmv/coo_thread_mapped.cuh:37-89).
+            def fn(x):
+                return _segment_sum(vals * x[cols], rid, rows,
+                                    sorted_ids=sorted_rows)
+            return fn
+
+        # flat schedules over the degenerate COO layout: per-block partial
+        # products, combined through the *matrix* row ids.
+        layout = CooLayout.from_coo(coo)
+        plan = make_plan(layout, schedule,
+                         **({"block_atoms": block}
+                            if schedule == "work_oriented"
+                            else {"block_work": block}))
+        return self._flat_xla(
+            plan,
+            vals=np.where(plan.valid, coo.vals[plan.atom_gather], 0),
+            gather_cols=coo.cols[plan.atom_gather],
+            out_of_tile=coo.rows)
+
+    # ------------------------------------------------------------- CSC
+    def _build_csc(self, csc: CSC, schedule, block, impl):
+        jnp = _jnp()
+        rows = self.rows
+        # tile = column; atoms scatter to arbitrary output rows, so every
+        # schedule funnels into the scatter reduction — same shape as the
+        # reference's single csc kernel (spmv/csc_thread_mapped.cuh:37-87).
+        vals = jnp.asarray(csc.vals)
+        out_rows = jnp.asarray(csc.indices)
+        col_of_atom = jnp.asarray(csc.col_ids())
+
+        def fn(x):
+            return _segment_sum(vals * x[col_of_atom], out_rows, rows)
+        return fn
+
+    # ------------------------------------------------------------- ELL
+    def _build_ell(self, ell: ELL, schedule, block, impl):
+        jnp = _jnp()
+        rows = self.rows
+        idx_plane, val_plane = ell.as_jax(pad_rows_to=1, pad_pitch_to=1)
+
+        if schedule in ("row_mapped", "group_mapped"):
+            # The plane is already one uniform group: a dense masked
+            # row-reduction (reference: spmv/ell_thread_mapped.cuh:28-76,
+            # whose sentinel skips become multiply-by-zero).
+            def fn(x):
+                return (val_plane * x[idx_plane]).sum(axis=1)[:rows]
+            return fn
+
+        # flat schedules over the closed-form uniform layout — the
+        # contract stress test (reference: spmv/ell_merge_path.cuh:32-126)
+        layout = EllLayout.from_ell(ell)
+        plan = make_plan(layout, schedule,
+                         **({"block_atoms": block}
+                            if schedule == "work_oriented"
+                            else {"block_work": block}))
+        flat_vals = np.where(ell.indices == -1, 0, ell.vals).ravel()
+        flat_cols = np.where(ell.indices == -1, 0, ell.indices).ravel()
+        return self._flat_xla(
+            plan,
+            vals=np.where(plan.valid, flat_vals[plan.atom_gather], 0),
+            gather_cols=flat_cols[plan.atom_gather],
+            out_of_tile=None)
+
+    # ------------------------------------------------------------- BCSR
+    def _build_bcsr(self, bcsr: BCSR, schedule, block, impl):
+        jnp = _jnp()
+        rows = self.rows
+        R, C = bcsr.block_shape
+        vals = jnp.asarray(bcsr.vals)                      # [nb, R, C]
+        bcols = jnp.asarray(bcsr.block_cols)
+        brid = jnp.asarray(bcsr.block_row_ids())
+        nbr = bcsr.num_block_rows
+        ncols_pad = bcsr.num_block_cols * C
+
+        # Atoms are stored blocks: per-atom work is a dense RxC
+        # mini-matvec — MXU food (reference: spmv/bcsr_thread_mapped.cuh:
+        # 36-123 accumulates R registers; here it is a batched einsum).
+        def fn(x):
+            xp = jnp.zeros(ncols_pad, x.dtype).at[: self.cols].set(x)
+            xb = xp.reshape(-1, C)[bcols]                  # [nb, C]
+            prod = jnp.einsum("brc,bc->br", vals, xb)      # [nb, R]
+            yb = _segment_sum(prod, brid, nbr, sorted_ids=True)
+            return yb.reshape(-1)[:rows]
+        return fn
+
+    # ------------------------------------------------------------- DIA
+    def _build_dia(self, dia: DIA, schedule, block, impl):
+        jnp = _jnp()
+        rows, cols = self.rows, self.cols
+        offs = dia.diag_offsets.astype(np.int64)
+        # per-diagonal column index of each row; clamped + masked
+        col_idx = np.arange(rows)[None, :] + offs[:, None]   # [D, rows]
+        mask = (col_idx >= 0) & (col_idx < cols)
+        col_idx = np.clip(col_idx, 0, max(cols - 1, 0))
+        vals = jnp.asarray(np.where(mask, dia.vals, 0))
+        col_idx = jnp.asarray(col_idx)
+
+        # Diagonal sweep: dense shifted multiplies, no irregularity at all
+        # (reference: spmv/dia_thread_mapped.cuh:36-96).
+        def fn(x):
+            return (vals * x[col_idx]).sum(axis=0)
+        return fn
+
+    # ------------------------------------------------- flat XLA executor
+    def _flat_xla(self, plan, vals, gather_cols, out_of_tile):
+        """Two-phase blocked reduction for the flat schedules.
+
+        Phase 1: per-block products (static [num_blocks, K]).
+        Phase 2: combine by output row. When the layout's tiles *are* the
+        output rows (CSR/ELL) the ids come from the plan's
+        tile_starts+rel_tile; COO routes through the matrix row ids
+        (``out_of_tile``).
+        """
+        jnp = _jnp()
+        rows = self.rows
+        v = jnp.asarray(vals)                       # [B, K], 0-padded
+        gc = jnp.asarray(gather_cols)               # [B, K]
+        if out_of_tile is None:
+            ids = (plan.tile_starts[:-1, None].astype(np.int64)
+                   + plan.rel_tile)
+            ids = np.where(plan.valid, np.minimum(ids, rows), rows)
+        else:
+            ids = np.where(plan.valid, out_of_tile[plan.atom_gather], rows)
+        ids = jnp.asarray(ids.astype(np.int32))
+
+        def fn(x):
+            products = v * x[gc]                    # [B, K]
+            y = _segment_sum(products.ravel(), ids.ravel(), rows + 1,
+                             sorted_ids=(out_of_tile is None))
+            return y[:rows]
+        return fn
+
+
+def _op_cache(mat) -> dict:
+    cache = getattr(mat, "_spmv_ops", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(mat, "_spmv_ops", cache)
+    return cache
+
+
+def spmv(mat, x, schedule: str = "row_mapped", block: int = 512,
+         impl: str = "xla"):
+    """One-shot SpMV with operator caching on the container."""
+    key = (schedule, block, impl)
+    cache = _op_cache(mat)
+    if key not in cache:
+        cache[key] = SpMVOperator(mat, schedule, block, impl)
+    return cache[key](x)
+
+
+def flat_partitioned_spmv(csr: CSR, x, atoms_per_tile: int = 8):
+    """SpMV through the flat re-binning partitioner: K-atom windows
+    processed tile-agnostically, outputs addressed via the base layout
+    (reference: spmv/flat_partitioned.cuh:46-106 — its per-atom
+    ``base().tile_of`` binary search + atomicAdd becomes a materialized
+    segment-id reduction)."""
+    import jax.numpy as jnp
+
+    flat = FlatRebinLayout(CsrLayout.from_csr(csr), atoms_per_tile)
+    vals = jnp.asarray(csr.vals)
+    cols = jnp.asarray(csr.indices)
+    base_ids = jnp.asarray(flat.base_tile_ids())
+    x = jnp.asarray(x)
+    return _segment_sum(vals * x[cols], base_ids, csr.shape[0],
+                        sorted_ids=True)
