@@ -1,0 +1,113 @@
+"""SpMM + SDDMM battery: XLA paths and the Pallas BCSR kernels
+(interpret mode on CPU) against the host references."""
+import numpy as np
+import pytest
+
+from loops_tpu.formats import BCSR, ELL
+from loops_tpu.ops import sddmm, spmm
+from loops_tpu.utils import generate, reference
+from loops_tpu.utils.equal import count_mismatches
+
+CASES = {
+    "random": lambda: generate.random_csr(40, 36, 0.15, seed=11),
+    "skewed": lambda: generate.skewed_csr(24, 30, heavy_rows=3),
+    "empty_rows": lambda: generate.empty_row_csr(21, 18),
+    "block_diag": lambda: generate.block_diag_csr(5, 4),
+}
+
+
+def _B(cols, f, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(cols, f)).astype(np.float32)
+
+
+@pytest.mark.parametrize("schedule", ["row_mapped", "group_mapped"])
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_spmm_csr(name, schedule):
+    csr = CASES[name]()
+    B = _B(csr.shape[1], 16)
+    C = np.asarray(spmm(csr, B, schedule=schedule))
+    C_ref = reference.spmm(csr, B)
+    assert count_mismatches(C, C_ref, atol=1e-3, rtol=1e-4) == 0
+
+
+@pytest.mark.parametrize("name", ["random", "empty_rows"])
+def test_spmm_coo_ell(name):
+    csr = CASES[name]()
+    B = _B(csr.shape[1], 8)
+    C_ref = reference.spmm(csr, B)
+    assert count_mismatches(
+        np.asarray(spmm(csr.to_coo(), B)), C_ref, 1e-3, 1e-4) == 0
+    assert count_mismatches(
+        np.asarray(spmm(ELL.from_csr(csr), B)), C_ref, 1e-3, 1e-4) == 0
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_spmm_bcsr(name, impl):
+    csr = CASES[name]()
+    bcsr = BCSR.from_csr(csr, 8, 128)
+    B = _B(csr.shape[1], 20)
+    C = np.asarray(spmm(bcsr, B, impl=impl))
+    C_ref = reference.spmm(csr, B)
+    assert count_mismatches(C, C_ref, atol=1e-3, rtol=1e-4) == 0, \
+        f"bcsr/{impl}/{name}"
+
+
+def test_spmm_bcsr_pallas_multi_ftile():
+    csr = CASES["random"]()
+    bcsr = BCSR.from_csr(csr, 8, 128)
+    B = _B(csr.shape[1], 300)  # forces Fp=384 > FT=128 accumulation
+    C = np.asarray(spmm(bcsr, B, impl="pallas", block_f=128))
+    assert count_mismatches(C, reference.spmm(csr, B), 1e-3, 1e-4) == 0
+
+
+def test_spmm_bcsr_rejects_misaligned():
+    csr = CASES["random"]()
+    bcsr = BCSR.from_csr(csr, 3, 64)
+    with pytest.raises(ValueError):
+        spmm(bcsr, _B(csr.shape[1], 8), impl="pallas")
+
+
+# ------------------------------------------------------------------ SDDMM
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_sddmm_csr(name):
+    csr = CASES[name]()
+    A = _B(csr.shape[0], 12, seed=5)
+    B = _B(csr.shape[1], 12, seed=6)
+    out = np.asarray(sddmm(csr, A, B))
+    ref = reference.sddmm(csr, A, B)
+    assert count_mismatches(out, ref, atol=1e-3, rtol=1e-4) == 0
+
+
+def test_sddmm_coo_matches_csr_order():
+    csr = CASES["random"]()
+    coo = csr.to_coo()  # row-sorted: same nz order as CSR
+    A = _B(csr.shape[0], 12, seed=5)
+    B = _B(csr.shape[1], 12, seed=6)
+    np.testing.assert_allclose(
+        np.asarray(sddmm(coo, A, B)), np.asarray(sddmm(csr, A, B)),
+        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("f", [12, 300])
+def test_sddmm_bcsr(impl, f):
+    csr = CASES["block_diag"]()
+    bcsr = BCSR.from_csr(csr, 8, 128)
+    A = _B(csr.shape[0], f, seed=5)
+    B = _B(csr.shape[1], f, seed=6)
+    out = np.asarray(sddmm(bcsr, A, B, impl=impl, block_f=128))
+    # oracle: dense sampled product at the *stored block* pattern
+    dense_dots = A @ B.T
+    R, Ccol = 8, 128
+    brid = bcsr.block_row_ids()
+    expect = np.zeros_like(out)
+    for k in range(bcsr.num_blocks):
+        r0, c0 = brid[k] * R, bcsr.block_cols[k] * Ccol
+        patch = np.zeros((R, Ccol), np.float32)
+        rr = min(R, csr.shape[0] - r0)
+        cc = min(Ccol, csr.shape[1] - c0)
+        patch[:rr, :cc] = dense_dots[r0:r0 + rr, c0:c0 + cc]
+        expect[k] = bcsr.vals[k] * patch
+    assert count_mismatches(out, expect, atol=1e-3, rtol=1e-4) == 0
