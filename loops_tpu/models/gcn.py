@@ -1,0 +1,68 @@
+"""GCN (Kipf & Welling) — functional JAX implementation.
+
+3-layer GCN per the north star (BASELINE.json config 4). Pure-pytree
+params with explicit init/apply so the model composes with jit, grad,
+shard_map, and the framework's SpMM operators without a module system in
+the way. Each layer is ``A_hat @ (H W) + b`` — the propagation is ONE
+balanced SpMM.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from loops_tpu.models.graph import Graph
+from loops_tpu.models.message_passing import aggregate_operator
+
+
+def _glorot(key, fan_in, fan_out):
+    import jax
+    import jax.numpy as jnp
+
+    lim = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, (fan_in, fan_out), jnp.float32,
+                              -lim, lim)
+
+
+def init_gcn(key, dims):
+    """dims = [in, hidden..., out]; returns the params pytree."""
+    import jax
+
+    keys = jax.random.split(key, len(dims) - 1)
+    return [{"w": _glorot(k, dims[i], dims[i + 1]),
+             "b": np.zeros(dims[i + 1], np.float32)}
+            for i, k in enumerate(keys)]
+
+
+class GCN:
+    """3-layer (or N-layer) GCN bound to a graph.
+
+    The propagation operator is built once from the GCN-normalized
+    adjacency; ``apply`` is a pure function of (params, features) and is
+    safe to jit/grad/shard.
+    """
+
+    def __init__(self, graph: Graph, dims, dropout: float = 0.5,
+                 schedule: str = "row_mapped", impl: str = "xla"):
+        self.dims = list(dims)
+        self.dropout = dropout
+        self.propagate = aggregate_operator(graph, op="gcn",
+                                            schedule=schedule, impl=impl)
+
+    def init(self, key):
+        return init_gcn(key, self.dims)
+
+    def apply(self, params, h, *, train: bool = False, rng=None):
+        import jax
+        import jax.numpy as jnp
+
+        prop = self.propagate._fn  # jit-compiled SpMM closure
+        for i, layer in enumerate(params):
+            h = prop(h @ layer["w"]) + layer["b"]
+            if i + 1 < len(params):
+                h = jax.nn.relu(h)
+                if train and self.dropout > 0:
+                    rng, sub = jax.random.split(rng)
+                    keep = jax.random.bernoulli(
+                        sub, 1.0 - self.dropout, h.shape)
+                    h = jnp.where(keep, h / (1.0 - self.dropout), 0.0)
+        return h

@@ -1,0 +1,64 @@
+"""Training utilities: node-classification loss/step/eval.
+
+Functional, optimizer-agnostic (optax), jit-ready — the training loop
+surface for the GCN/GraphSAGE configs in BASELINE.json.
+"""
+from __future__ import annotations
+
+
+def cross_entropy(logits, labels, mask=None):
+    import jax
+    import jax.numpy as jnp
+
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    if mask is not None:
+        return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return nll.mean()
+
+
+def accuracy(logits, labels, mask=None):
+    import jax.numpy as jnp
+
+    hit = (logits.argmax(axis=1) == labels).astype(jnp.float32)
+    if mask is not None:
+        return (hit * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return hit.mean()
+
+
+def make_train_step(model, optimizer, features, labels, train_mask,
+                    weight_decay: float = 0.0):
+    """Full-graph training step: (params, opt_state, rng) -> updated +
+    loss. jit-compiled by the caller (or use as-is; it closes over static
+    data)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    features = jnp.asarray(features)
+    labels = jnp.asarray(labels)
+    train_mask = jnp.asarray(train_mask)
+
+    def loss_fn(params, rng):
+        logits = model.apply(params, features, train=True, rng=rng)
+        loss = cross_entropy(logits, labels, train_mask)
+        if weight_decay:
+            l2 = sum(jnp.sum(p["w"] ** 2) for p in params)
+            loss = loss + weight_decay * l2
+        return loss
+
+    def step(params, opt_state, rng):
+        rng, sub = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(loss_fn)(params, sub)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss
+
+    return step
+
+
+def evaluate(model, params, features, labels, mask):
+    import jax.numpy as jnp
+
+    logits = model.apply(params, jnp.asarray(features))
+    return float(accuracy(logits, jnp.asarray(labels), jnp.asarray(mask)))

@@ -1,0 +1,51 @@
+"""Benchmark timing that survives high-latency dispatch.
+
+Per-call ``block_until_ready`` timing is unreliable when the device sits
+behind an RPC tunnel (dispatch latency dwarfs kernel time, and completion
+may be acknowledged early). ``chained_ms`` times N *data-dependent*
+applications inside one jitted ``fori_loop`` and pulls one scalar to the
+host, so the measured interval contains exactly N kernel executions.
+"""
+from __future__ import annotations
+
+import time
+
+
+def chained_ms(fn, x, iters: int = 20, warmup: bool = True) -> float:
+    """Milliseconds per application of ``fn`` (shape-preserving x->x)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(v):
+        return jax.lax.fori_loop(0, iters, lambda i, a: fn(a), v)
+
+    x = jnp.asarray(x)
+    if warmup:
+        jax.device_get(jnp.ravel(chain(x))[0])
+    t0 = time.perf_counter()
+    r = chain(x)
+    jax.device_get(jnp.ravel(r)[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def chained_ms_pair(fn, x, iters: int = 20) -> float:
+    """Like :func:`chained_ms` for fn whose output shape differs from its
+    input: re-injects a cheap scalar of the output into the input to keep
+    the data dependence."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(v):
+        def body(i, a):
+            out = fn(a)
+            return a + jnp.ravel(out)[0] * 0
+        return jax.lax.fori_loop(0, iters, body, v)
+
+    x = jnp.asarray(x)
+    jax.device_get(jnp.ravel(chain(x))[0])
+    t0 = time.perf_counter()
+    r = chain(x)
+    jax.device_get(jnp.ravel(r)[0])
+    return (time.perf_counter() - t0) / iters * 1e3

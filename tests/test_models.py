@@ -1,0 +1,143 @@
+"""GNN model tests: graph preprocessing, message passing semantics,
+GCN/GraphSAGE forward + a real overfit-training check, sampling shapes."""
+import numpy as np
+import pytest
+
+from loops_tpu.models import (
+    GCN,
+    Graph,
+    GraphSAGE,
+    aggregate_operator,
+    edge_aggregate,
+    sample_neighbors,
+)
+from loops_tpu.models import train as train_mod
+from loops_tpu.utils import generate
+
+
+def _toy_graph(n=30, seed=0):
+    rng = np.random.default_rng(seed)
+    m = 3 * n
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    return Graph.from_edges(src, dst, n, make_undirected=True)
+
+
+def test_graph_construction_and_degrees():
+    g = Graph.from_edges([0, 1, 2], [1, 2, 0], 4, make_undirected=True)
+    assert g.num_nodes == 4
+    assert g.num_edges == 6
+    assert g.in_degrees().sum() == 6
+    assert g.out_degrees().sum() == 6
+    g2 = g.add_self_loops()
+    assert g2.num_edges == 10  # +4 loops
+    # idempotent on existing loops
+    assert g2.add_self_loops().num_edges == 10
+
+
+def test_gcn_normalization_rows():
+    g = _toy_graph()
+    gn = g.gcn_normalized()
+    a = gn.adj.to_dense().astype(np.float64)
+    # symmetric normalization of a symmetric matrix stays symmetric
+    np.testing.assert_allclose(a, a.T, atol=1e-6)
+    # eigenvalues of D^-1/2 (A+I) D^-1/2 are in [-1, 1+eps]
+    w = np.linalg.eigvalsh(a)
+    assert w.max() <= 1.0 + 1e-5
+
+
+def test_aggregate_matches_manual():
+    g = _toy_graph(12, seed=2)
+    h = np.random.default_rng(1).normal(size=(12, 5)).astype(np.float32)
+    dense = g.adj.to_dense()
+    out = np.asarray(aggregate_operator(g, "sum")(h))
+    np.testing.assert_allclose(out, dense @ h, rtol=1e-4, atol=1e-4)
+    out = np.asarray(aggregate_operator(g, "mean")(h))
+    deg = np.maximum(dense.sum(1, keepdims=True), 1)
+    np.testing.assert_allclose(out, dense @ h / deg, rtol=1e-4, atol=1e-4)
+
+
+def test_edge_aggregate_ops():
+    import jax.numpy as jnp
+
+    g = _toy_graph(10, seed=3)
+    h = jnp.asarray(
+        np.random.default_rng(2).normal(size=(10, 4)).astype(np.float32))
+    s = np.asarray(edge_aggregate(g, h, op="sum"))
+    np.testing.assert_allclose(s, g.adj.to_dense() @ np.asarray(h),
+                               rtol=1e-4, atol=1e-4)
+    mx = np.asarray(edge_aggregate(g, h, op="max"))
+    dense = g.adj.to_dense()
+    for i in range(10):
+        nbrs = np.nonzero(dense[i])[0]
+        if len(nbrs):
+            np.testing.assert_allclose(mx[i], np.asarray(h)[nbrs].max(0),
+                                       rtol=1e-5)
+
+
+def test_gcn_forward_and_overfit():
+    import jax
+    import optax
+
+    g = _toy_graph(24, seed=5)
+    n, f, c = 24, 8, 3
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n)
+    mask = np.ones(n, np.float32)
+
+    model = GCN(g, [f, 16, c], dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    logits = model.apply(params, feats)
+    assert logits.shape == (n, c)
+
+    opt = optax.adam(5e-2)
+    step = jax.jit(train_mod.make_train_step(model, opt, feats, labels, mask))
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(60):
+        params, opt_state, key, loss = step(params, opt_state, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::20]
+    acc = train_mod.evaluate(model, params, feats, labels, mask)
+    assert acc > 0.6  # overfits a tiny graph
+
+
+def test_sampling_shapes_and_membership():
+    import jax
+
+    g = _toy_graph(20, seed=7)
+    seeds = np.array([0, 3, 7, 19])
+    nbr = np.asarray(sample_neighbors(g, seeds, 5, jax.random.PRNGKey(0)))
+    assert nbr.shape == (4, 5)
+    dense = g.adj.to_dense()
+    for i, s in enumerate(seeds):
+        nbrs = set(np.nonzero(dense[s])[0].tolist()) | {s}
+        assert set(nbr[i].tolist()) <= nbrs
+
+
+def test_isolated_node_samples_itself():
+    import jax
+
+    g = Graph.from_edges([0], [1], 3)
+    nbr = np.asarray(sample_neighbors(g, np.array([2]), 4,
+                                      jax.random.PRNGKey(0)))
+    assert (nbr == 2).all()
+
+
+def test_graphsage_full_and_sampled():
+    import jax
+
+    g = _toy_graph(18, seed=9)
+    feats = np.random.default_rng(5).normal(size=(18, 6)).astype(np.float32)
+    model = GraphSAGE(g, [6, 12, 4])
+    params = model.init(jax.random.PRNGKey(2))
+    out = model.apply(params, feats)
+    assert out.shape == (18, 4)
+
+    seeds = np.array([1, 5, 9])
+    mb = model.apply_sampled(params, feats, seeds, fanouts=[3, 4],
+                             key=jax.random.PRNGKey(3))
+    assert mb.shape == (3, 4)
+    assert np.isfinite(np.asarray(mb)).all()
