@@ -1,0 +1,152 @@
+"""Distributed sparse ops over a device mesh (shard_map + collectives).
+
+The multi-chip tier the single-GPU reference never had (SURVEY.md §2
+scope statement; north star BASELINE.json): adjacency rows are
+edge-balance-partitioned across the ``graph`` mesh axis
+(parallel/graph_partition.py); features live sharded as stacked
+[P, rows_per_dev, F]; each step all-gathers the feature table over ICI
+and reduces locally — XLA overlaps the gather with the local compute.
+All collectives ride named mesh axes, so the same code runs on an
+8-device CPU test mesh and a v5p pod slice.
+
+Differentiable end-to-end: ``all_gather``'s transpose is
+``psum_scatter``, so ``jax.grad`` through a distributed GCN works out of
+the box.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from loops_tpu.parallel.graph_partition import EdgePartition
+
+__all__ = ["DistSpMM", "DistGCN"]
+
+
+class DistSpMM:
+    """Distributed SpMM: stacked padded features -> stacked padded rows.
+
+    ``op(h) : [P, rows_pd, F] -> [P, rows_pd, F_out-like]`` with both
+    sides sharded P("graph"). Construction stages the partition's arrays
+    onto the mesh.
+    """
+
+    def __init__(self, plan: EdgePartition, mesh):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.plan = plan
+        self.mesh = mesh
+        shard = NamedSharding(mesh, P("graph"))
+        self.offsets = jax.device_put(jnp.asarray(plan.offsets), shard)
+        self.indices = jax.device_put(jnp.asarray(plan.indices_padded),
+                                      shard)
+        self.vals = jax.device_put(jnp.asarray(plan.vals), shard)
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        E = self.plan.nnz_per_dev
+        R = self.plan.rows_per_dev
+
+        def local(offs, idx, vals, h):
+            # offs [1, R+1], idx/vals [1, E], h [1, R, F]
+            h_full = jax.lax.all_gather(h[0], "graph", axis=0,
+                                        tiled=True)          # [P*R, F]
+            atoms = jnp.arange(E, dtype=jnp.int32)
+            rid = jnp.searchsorted(offs[0, 1:-1], atoms,
+                                   side="right").astype(jnp.int32)
+            prod = vals[0][:, None] * h_full[idx[0]]
+            out = jax.ops.segment_sum(prod, rid, num_segments=R,
+                                      indices_are_sorted=True)
+            return out[None]
+
+        sharded = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("graph"), P("graph"), P("graph"), P("graph")),
+            out_specs=P("graph"),
+            check_vma=False,
+        )
+
+        def fn(h):
+            return sharded(self.offsets, self.indices, self.vals, h)
+        return fn
+
+    def __call__(self, h_stacked):
+        import jax.numpy as jnp
+        return self._fn(jnp.asarray(h_stacked))
+
+
+class DistGCN:
+    """Distributed GCN: per-layer ``A_hat (H W) + b`` with H row-sharded
+    and W replicated. The GCN-normalized adjacency is partitioned once at
+    construction."""
+
+    def __init__(self, graph, dims, mesh, num_devices: int | None = None):
+        from loops_tpu.models.graph import Graph
+
+        g = graph if isinstance(graph, Graph) else Graph(graph)
+        norm = g.gcn_normalized()
+        P_ = num_devices or int(np.prod([mesh.shape[a] for a in
+                                         mesh.axis_names]))
+        self.plan = EdgePartition.build(norm.adj, P_)
+        self.mesh = mesh
+        self.dims = list(dims)
+        self.propagate = DistSpMM(self.plan, mesh)
+
+    def init(self, key):
+        from loops_tpu.models.gcn import init_gcn
+        return init_gcn(key, self.dims)
+
+    def apply(self, params, h_stacked):
+        import jax
+
+        h = h_stacked
+        for i, layer in enumerate(params):
+            h = self.propagate(h @ layer["w"]) + layer["b"]
+            if i + 1 < len(params):
+                h = jax.nn.relu(h)
+        return h
+
+    def make_train_step(self, optimizer, features, labels, train_mask):
+        """Distributed full-graph training step over stacked shards.
+
+        features [N, F0]; labels [N]; train_mask [N] — staged into padded
+        stacked form here; the returned step is jit-compiled with params
+        replicated and activations sharded.
+        """
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        plan = self.plan
+        h0 = jnp.asarray(plan.pad_features(np.asarray(features)))
+        lab = np.zeros((plan.num_devices, plan.rows_per_dev), np.int32)
+        msk = np.zeros((plan.num_devices, plan.rows_per_dev), np.float32)
+        for p in range(plan.num_devices):
+            r0, r1 = plan.row_starts[p], plan.row_starts[p + 1]
+            lab[p, : r1 - r0] = labels[r0:r1]
+            msk[p, : r1 - r0] = train_mask[r0:r1]
+        lab, msk = jnp.asarray(lab), jnp.asarray(msk)
+
+        def loss_fn(params):
+            logits = self.apply(params, h0)          # [P, R, C]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, lab[..., None], axis=-1)[..., 0]
+            return (nll * msk).sum() / jnp.maximum(msk.sum(), 1.0)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
