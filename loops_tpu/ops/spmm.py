@@ -116,6 +116,9 @@ class SpMMOperator:
         if impl == "pallas":
             from loops_tpu.ops.kernels.spmm_bcsr import bcsr_spmm_pallas
             return bcsr_spmm_pallas(bcsr, block_f=self.block_f)
+        if impl == "pallas2":
+            from loops_tpu.ops.kernels.spmm_bcsr_v2 import bcsr_spmm_pallas_v2
+            return bcsr_spmm_pallas_v2(bcsr, block_f=self.block_f)
 
         rows = self.rows
         R, C = bcsr.block_shape

@@ -198,7 +198,10 @@ class FlatBlockPlan:
 def make_plan(layout: Layout, schedule: str, **kw):
     if schedule == "row_mapped":
         return RowMappedPlan.from_layout(layout)
-    if schedule == "group_mapped":
+    if schedule in ("group_mapped", "bucketing"):
+        # "bucketing" is accepted as an alias: the reference declares the
+        # enum value but never implements it (schedule.hxx:26-32); our
+        # group_mapped *is* a bucketing schedule (degree-class buckets).
         return GroupMappedPlan.from_layout(layout, **kw)
     if schedule == "work_oriented":
         return FlatBlockPlan.work_oriented(layout, **kw)
