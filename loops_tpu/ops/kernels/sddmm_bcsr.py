@@ -38,9 +38,9 @@ def bcsr_sddmm_pallas(bcsr, block_f: int = 512, interpret: bool | None = None):
             f"Pallas BCSR SDDMM needs R%8==0 and C%128==0, got {R}x{C}")
     rows, cols_n = bcsr.shape
     NB = bcsr.num_blocks
-    brow = jnp.asarray(bcsr.block_row_ids())
-    bcol = jnp.asarray(bcsr.block_cols)
-    vals = jnp.asarray(bcsr.vals)
+    bufs = dict(brow=jnp.asarray(bcsr.block_row_ids()),
+                bcol=jnp.asarray(bcsr.block_cols),
+                vals=jnp.asarray(bcsr.vals))
 
     def kernel(brow_ref, bcol_ref, a_ref, b_ref, v_ref, out_ref):
         j = pl.program_id(1)
@@ -62,7 +62,7 @@ def bcsr_sddmm_pallas(bcsr, block_f: int = 512, interpret: bool | None = None):
         def _():
             out_ref[0] *= v_ref[0]
 
-    def fn(A, B):
+    def fn(b, A, B):
         F = A.shape[1]
         FT = min(block_f, _round_up(F, LANES))
         Fp = _round_up(F, FT)
@@ -87,6 +87,6 @@ def bcsr_sddmm_pallas(bcsr, block_f: int = 512, interpret: bool | None = None):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((NB, R, C), jnp.float32),
             interpret=interpret,
-        )(brow, bcol, Ap, Bp, vals)
+        )(b["brow"], b["bcol"], Ap, Bp, b["vals"])
         return out
-    return fn
+    return bufs, fn

@@ -79,10 +79,13 @@ def bcsr_spmm_pallas(bcsr, block_f: int = 512, interpret: bool | None = None,
 
     vals_np, bcols_np, brow_np, first_np = _pad_empty_rows(bcsr)
     NB = len(bcols_np)
-    vals = jnp.asarray(vals_np if dtype is None else vals_np.astype(dtype))
-    bcols = jnp.asarray(bcols_np)
-    brow = jnp.asarray(brow_np)
-    first = jnp.asarray(first_np)
+    bufs = dict(
+        vals=jnp.asarray(vals_np if dtype is None
+                         else vals_np.astype(dtype)),
+        bcols=jnp.asarray(bcols_np),
+        brow=jnp.asarray(brow_np),
+        first=jnp.asarray(first_np),
+    )
 
     def kernel(bcols_ref, brow_ref, first_ref, a_ref, b_ref, out_ref):
         t = pl.program_id(1)
@@ -97,7 +100,7 @@ def bcsr_spmm_pallas(bcsr, block_f: int = 512, interpret: bool | None = None,
         def _():
             out_ref[:] += prod
 
-    def fn(B):
+    def fn(b, B):
         F = B.shape[1]
         FT = min(block_f, _round_up(F, LANES))
         Fp = _round_up(F, FT)
@@ -121,6 +124,6 @@ def bcsr_spmm_pallas(bcsr, block_f: int = 512, interpret: bool | None = None,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nbr * R, Fp), jnp.float32),
             interpret=interpret,
-        )(bcols, brow, first, vals, Bp)
+        )(b["bcols"], b["brow"], b["first"], b["vals"], Bp)
         return out[:rows, :F]
-    return fn
+    return bufs, fn

@@ -59,10 +59,12 @@ def bcsr_spmm_pallas_v2(bcsr, block_f: int = 256, super_rows: int | None = None,
     row_ptr[nbr + 1:] = bcsr.block_offsets[-1]
     brow_np = bcsr.block_row_ids()
 
-    vals = jnp.asarray(bcsr.vals)                 # [NB, R, C] (HBM)
-    bcols = jnp.asarray(bcsr.block_cols)
-    brow = jnp.asarray(brow_np)
-    row_ptr = jnp.asarray(row_ptr)
+    bufs = dict(
+        vals=jnp.asarray(bcsr.vals),              # [NB, R, C] (HBM)
+        bcols=jnp.asarray(bcsr.block_cols),
+        brow=jnp.asarray(brow_np),
+        row_ptr=jnp.asarray(row_ptr),
+    )
 
     def kernel(row_ptr_ref, bcols_ref, brow_ref, a_hbm, b_hbm, out_ref,
                a_buf, b_buf, acc, a_sem, b_sem):
@@ -109,7 +111,7 @@ def bcsr_spmm_pallas_v2(bcsr, block_f: int = 256, super_rows: int | None = None,
         jax.lax.fori_loop(t0, t1, body, 0)
         out_ref[:] = acc[:]
 
-    def fn(B):
+    def fn(b, B):
         F = B.shape[1]
         FT = min(block_f, _round_up(F, LANES))
         Fp = _round_up(F, FT)
@@ -139,6 +141,6 @@ def bcsr_spmm_pallas_v2(bcsr, block_f: int = 256, super_rows: int | None = None,
             out_shape=jax.ShapeDtypeStruct((nsup * SUPER * R, Fp),
                                            jnp.float32),
             interpret=interpret,
-        )(row_ptr, bcols, brow, vals, Bp)
+        )(b["row_ptr"], b["bcols"], b["brow"], b["vals"], Bp)
         return out[:rows, :F]
-    return fn
+    return bufs, fn

@@ -79,11 +79,13 @@ def flat_spmv_pallas(csr, plan, interpret: bool | None = None):
         out[: len(a)] = a
         return out
 
-    vals_b = jnp.asarray(
-        pad_b(np.where(plan.valid, csr.vals[plan.atom_gather], 0)))
-    cols_b = jnp.asarray(pad_b(csr.indices[plan.atom_gather]))
-    rel_b = jnp.asarray(pad_b(rel.astype(INDEX_DTYPE)))
-    s0_b = jnp.asarray(pad_b(s0))                          # pad blocks: base 0
+    bufs = dict(
+        vals=jnp.asarray(
+            pad_b(np.where(plan.valid, csr.vals[plan.atom_gather], 0))),
+        cols=jnp.asarray(pad_b(csr.indices[plan.atom_gather])),
+        rel=jnp.asarray(pad_b(rel.astype(INDEX_DTYPE))),
+        s0=jnp.asarray(pad_b(s0)),                    # pad blocks: base 0
+    )
     sub_rows = R // LANES
 
     def kernel(s0_ref, prod_ref, rel_ref, y_ref):
@@ -120,8 +122,8 @@ def flat_spmv_pallas(csr, plan, interpret: bool | None = None):
         interpret=interpret,
     )
 
-    def fn(x):
-        products = vals_b * x[cols_b]              # [B, K]; XLA fuses gather
-        y2d = call(s0_b, products, rel_b)
+    def fn(b, x):
+        products = b["vals"] * x[b["cols"]]        # [B, K]; XLA fuses gather
+        y2d = call(b["s0"], products, b["rel"])
         return y2d.reshape(-1)[:rows]
-    return fn
+    return bufs, fn

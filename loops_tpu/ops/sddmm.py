@@ -9,6 +9,9 @@ analog (the reference stops at SpMV/SpMM); required by the north star
   order, composable with the containers).
 * BCSR — Pallas kernel: per stored block, ``A_rows @ B_cols^T`` on the
   MXU with feature-tile accumulation (ops/kernels/sddmm_bcsr.py).
+
+Operator protocol: builders return ``(buffers, fn)`` with buffers passed
+as jit arguments — never closure constants (see ops/spmv.py docstring).
 """
 from __future__ import annotations
 
@@ -26,55 +29,56 @@ class SDDMMOperator:
         self.mat = mat
         if isinstance(mat, BCSR) and impl == "pallas":
             from loops_tpu.ops.kernels.sddmm_bcsr import bcsr_sddmm_pallas
-            fn = bcsr_sddmm_pallas(mat, block_f=block_f)
+            self._bufs, fn = bcsr_sddmm_pallas(mat, block_f=block_f)
         elif isinstance(mat, CSR):
-            fn = self._build_nz(mat.row_ids(), mat.indices, mat.vals)
+            self._bufs, fn = self._build_nz(mat.row_ids(), mat.indices,
+                                            mat.vals)
         elif isinstance(mat, COO):
-            fn = self._build_nz(mat.rows, mat.cols, mat.vals)
+            self._bufs, fn = self._build_nz(mat.rows, mat.cols, mat.vals)
         elif isinstance(mat, BCSR):
-            fn = self._build_bcsr_xla(mat)
+            self._bufs, fn = self._build_bcsr_xla(mat)
         else:
             raise TypeError(f"sddmm: unsupported format {type(mat).__name__}")
-        self._fn = jax.jit(fn)
+        self._jit = jax.jit(fn)
+        self._fn = lambda A, B: self._jit(self._bufs, A, B)
 
     @staticmethod
     def _build_nz(rid_np, cid_np, vals_np):
         import jax.numpy as jnp
 
-        rid = jnp.asarray(rid_np)
-        cid = jnp.asarray(cid_np)
-        vals = jnp.asarray(vals_np)
+        bufs = dict(rid=jnp.asarray(rid_np), cid=jnp.asarray(cid_np),
+                    vals=jnp.asarray(vals_np))
 
-        def fn(A, B):
-            dots = jnp.einsum("nf,nf->n", A[rid], B[cid])
-            return vals * dots
-        return fn
+        def fn(b, A, B):
+            dots = jnp.einsum("nf,nf->n", A[b["rid"]], B[b["cid"]])
+            return b["vals"] * dots
+        return bufs, fn
 
     @staticmethod
     def _build_bcsr_xla(bcsr: BCSR):
         import jax.numpy as jnp
 
         R, C = bcsr.block_shape
-        brow = jnp.asarray(bcsr.block_row_ids())
-        bcol = jnp.asarray(bcsr.block_cols)
-        vals = jnp.asarray(bcsr.vals)
         rows, cols = bcsr.shape
+        nbr_R = bcsr.num_block_rows * R
+        nbc_C = bcsr.num_block_cols * C
+        bufs = dict(brow=jnp.asarray(bcsr.block_row_ids()),
+                    bcol=jnp.asarray(bcsr.block_cols),
+                    vals=jnp.asarray(bcsr.vals))
 
-        def fn(A, B):
+        def fn(b, A, B):
             F = A.shape[1]
-            Ap = jnp.zeros((bcsr.num_block_rows * R, F), A.dtype
-                           ).at[:rows].set(A)
-            Bp = jnp.zeros((bcsr.num_block_cols * C, F), B.dtype
-                           ).at[:cols].set(B)
-            Ab = Ap.reshape(-1, R, F)[brow]          # [nb, R, F]
-            Bb = Bp.reshape(-1, C, F)[bcol]          # [nb, C, F]
+            Ap = jnp.zeros((nbr_R, F), A.dtype).at[:rows].set(A)
+            Bp = jnp.zeros((nbc_C, F), B.dtype).at[:cols].set(B)
+            Ab = Ap.reshape(-1, R, F)[b["brow"]]      # [nb, R, F]
+            Bb = Bp.reshape(-1, C, F)[b["bcol"]]      # [nb, C, F]
             dots = jnp.einsum("brf,bcf->brc", Ab, Bb)
-            return vals * dots
-        return fn
+            return b["vals"] * dots
+        return bufs, fn
 
     def __call__(self, A, B):
         import jax.numpy as jnp
-        return self._fn(jnp.asarray(A), jnp.asarray(B))
+        return self._jit(self._bufs, jnp.asarray(A), jnp.asarray(B))
 
 
 def _op_cache(mat) -> dict:

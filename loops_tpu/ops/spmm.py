@@ -10,10 +10,14 @@ MXU earns its keep, so SpMM gets the deepest treatment:
 * CSR ``group_mapped`` — bucketed-ELL planes: dense masked
   [rows_b, pitch_b, F] reductions per degree class, zero scatter.
 * ELL — one uniform dense plane reduction.
-* BCSR — **the speed-of-light path**: grouped block-sparse matmul. XLA
-  variant is a batched einsum + segment-sum over block rows; the Pallas
-  kernel (ops/kernels/spmm_bcsr.py) streams B tiles with
-  scalar-prefetched index maps and accumulates output blocks in VMEM.
+* BCSR — **the speed-of-light path**: grouped block-sparse matmul.
+  ``impl="xla"`` is a batched einsum + segment-sum over block rows;
+  ``impl="pallas"`` streams B tiles via scalar-prefetched index maps
+  (one block per grid step); ``impl="pallas2"`` is the optimized
+  super-row kernel with manual double-buffered DMA.
+
+Operator protocol: builders return ``(buffers, fn)`` with buffers passed
+as jit arguments — never closure constants (see ops/spmv.py docstring).
 """
 from __future__ import annotations
 
@@ -45,12 +49,13 @@ class SpMMOperator:
         self.impl = impl
         self.block_f = block_f
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
-        fn = builder(mat, schedule, impl)
-        self._fn = jax.jit(fn)
+        self._bufs, fn = builder(mat, schedule, impl)
+        self._jit = jax.jit(fn)
+        self._fn = lambda B: self._jit(self._bufs, B)
 
     def __call__(self, B):
         import jax.numpy as jnp
-        return self._fn(jnp.asarray(B))
+        return self._jit(self._bufs, jnp.asarray(B))
 
     # ------------------------------------------------------------- CSR
     def _build_csr(self, csr: CSR, schedule, impl):
@@ -59,55 +64,54 @@ class SpMMOperator:
         rows = self.rows
         if schedule == "group_mapped":
             plan = make_plan(CsrLayout.from_csr(csr), "group_mapped")
-            buckets = []
-            for b in plan.buckets:
-                buckets.append((
-                    jnp.asarray(b["tiles"]),
-                    jnp.asarray(csr.indices[b["atom_slots"]]),
-                    jnp.asarray(np.where(b["valid"],
-                                         csr.vals[b["atom_slots"]], 0)),
-                ))
+            bufs = dict(buckets=[
+                (jnp.asarray(b["tiles"]),
+                 jnp.asarray(csr.indices[b["atom_slots"]]),
+                 jnp.asarray(np.where(b["valid"],
+                                      csr.vals[b["atom_slots"]], 0)))
+                for b in plan.buckets])
 
-            def fn(B):
+            def fn(b, B):
                 C = jnp.zeros((rows, B.shape[1]), B.dtype)
-                for tiles, idx, v in buckets:
+                for tiles, idx, v in b["buckets"]:
                     C = C.at[tiles].add(
                         (v[..., None] * B[idx]).sum(axis=1))
                 return C
-            return fn
+            return bufs, fn
 
-        vals = jnp.asarray(csr.vals)
-        cols = jnp.asarray(csr.indices)
-        rid = jnp.asarray(csr.row_ids())
+        bufs = dict(vals=jnp.asarray(csr.vals),
+                    cols=jnp.asarray(csr.indices),
+                    rid=jnp.asarray(csr.row_ids()))
 
-        def fn(B):
-            return _segment_sum(vals[:, None] * B[cols], rid, rows,
-                                sorted_ids=True)
-        return fn
+        def fn(b, B):
+            return _segment_sum(b["vals"][:, None] * B[b["cols"]],
+                                b["rid"], rows, sorted_ids=True)
+        return bufs, fn
 
     # ------------------------------------------------------------- COO
     def _build_coo(self, coo: COO, schedule, impl):
         import jax.numpy as jnp
 
         rows = self.rows
-        vals = jnp.asarray(coo.vals)
-        cols = jnp.asarray(coo.cols)
-        rid = jnp.asarray(coo.rows)
         sorted_rows = bool(np.all(np.diff(coo.rows) >= 0))
+        bufs = dict(vals=jnp.asarray(coo.vals),
+                    cols=jnp.asarray(coo.cols),
+                    rid=jnp.asarray(coo.rows))
 
-        def fn(B):
-            return _segment_sum(vals[:, None] * B[cols], rid, rows,
-                                sorted_ids=sorted_rows)
-        return fn
+        def fn(b, B):
+            return _segment_sum(b["vals"][:, None] * B[b["cols"]],
+                                b["rid"], rows, sorted_ids=sorted_rows)
+        return bufs, fn
 
     # ------------------------------------------------------------- ELL
     def _build_ell(self, ell: ELL, schedule, impl):
         rows = self.rows
         idx_plane, val_plane = ell.as_jax(pad_rows_to=1, pad_pitch_to=1)
+        bufs = dict(idx=idx_plane, val=val_plane)
 
-        def fn(B):
-            return (val_plane[..., None] * B[idx_plane]).sum(axis=1)[:rows]
-        return fn
+        def fn(b, B):
+            return (b["val"][..., None] * B[b["idx"]]).sum(axis=1)[:rows]
+        return bufs, fn
 
     # ------------------------------------------------------------- BCSR
     def _build_bcsr(self, bcsr: BCSR, schedule, impl):
@@ -121,21 +125,22 @@ class SpMMOperator:
             return bcsr_spmm_pallas_v2(bcsr, block_f=self.block_f)
 
         rows = self.rows
+        cols = self.cols
         R, C = bcsr.block_shape
-        vals = jnp.asarray(bcsr.vals)
-        bcols = jnp.asarray(bcsr.block_cols)
-        brid = jnp.asarray(bcsr.block_row_ids())
         nbr = bcsr.num_block_rows
         ncols_pad = bcsr.num_block_cols * C
+        bufs = dict(vals=jnp.asarray(bcsr.vals),
+                    bcols=jnp.asarray(bcsr.block_cols),
+                    brid=jnp.asarray(bcsr.block_row_ids()))
 
-        def fn(B):
+        def fn(b, B):
             F = B.shape[1]
-            Bp = jnp.zeros((ncols_pad, F), B.dtype).at[: self.cols].set(B)
-            Bb = Bp.reshape(-1, C, F)[bcols]                 # [nb, C, F]
-            prod = jnp.einsum("brc,bcf->brf", vals, Bb)      # MXU batched
-            Cb = _segment_sum(prod, brid, nbr, sorted_ids=True)
+            Bp = jnp.zeros((ncols_pad, F), B.dtype).at[:cols].set(B)
+            Bb = Bp.reshape(-1, C, F)[b["bcols"]]            # [nb, C, F]
+            prod = jnp.einsum("brc,bcf->brf", b["vals"], Bb)  # MXU batched
+            Cb = _segment_sum(prod, b["brid"], nbr, sorted_ids=True)
             return Cb.reshape(-1, F)[:rows]
-        return fn
+        return bufs, fn
 
 
 def _op_cache(mat) -> dict:

@@ -25,6 +25,12 @@ Schedule -> execution strategy (per format):
 The ``original`` baseline (reference: spmv/original.cuh:26-76 — a raw
 grid-stride row loop with no schedule) maps to ``schedule="row_mapped"``
 since XLA owns the raw-loop tier on TPU.
+
+Operator protocol: every builder returns ``(buffers, fn)`` where
+``fn(buffers, x)`` is the pure device function — buffers ride as jit
+*arguments*, never as closure constants (closure-captured arrays are
+baked into the HLO as literals, which breaks remote compilation and
+bloats executables for large matrices).
 """
 from __future__ import annotations
 
@@ -46,11 +52,6 @@ from loops_tpu.schedule.plans import SCHEDULES, make_plan
 __all__ = ["spmv", "SpMVOperator", "SCHEDULES"]
 
 
-def _jnp():
-    import jax.numpy as jnp
-    return jnp
-
-
 def _segment_sum(data, ids, num_segments, sorted_ids=False):
     import jax
     return jax.ops.segment_sum(data, ids, num_segments=num_segments,
@@ -68,7 +69,6 @@ class SpMVOperator:
     def __init__(self, mat, schedule: str = "row_mapped",
                  block: int = 512, impl: str = "xla"):
         import jax
-        import jax.numpy as jnp
 
         if schedule not in SCHEDULES:
             raise ValueError(
@@ -79,47 +79,47 @@ class SpMVOperator:
         self.block = block
         self.rows, self.cols = mat.shape
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
-        fn = builder(mat, schedule, block, impl)
-        self._fn = jax.jit(fn)
+        self._bufs, fn = builder(mat, schedule, block, impl)
+        self._jit = jax.jit(fn)
+        self._fn = lambda x: self._jit(self._bufs, x)
 
     def __call__(self, x):
         import jax.numpy as jnp
-        return self._fn(jnp.asarray(x))
+        return self._jit(self._bufs, jnp.asarray(x))
 
     # ------------------------------------------------------------- CSR
     def _build_csr(self, csr: CSR, schedule, block, impl):
-        jnp = _jnp()
+        import jax.numpy as jnp
+
         rows = self.rows
         layout = CsrLayout.from_csr(csr)
 
         if schedule == "row_mapped":
             plan = make_plan(layout, schedule)
-            vals = jnp.asarray(csr.vals)
-            cols = jnp.asarray(csr.indices)
-            rid = jnp.asarray(plan.atom_tile_ids)
+            bufs = dict(vals=jnp.asarray(csr.vals),
+                        cols=jnp.asarray(csr.indices),
+                        rid=jnp.asarray(plan.atom_tile_ids))
 
-            def fn(x):
-                return _segment_sum(vals * x[cols], rid, rows,
-                                    sorted_ids=True)
-            return fn
+            def fn(b, x):
+                return _segment_sum(b["vals"] * x[b["cols"]], b["rid"],
+                                    rows, sorted_ids=True)
+            return bufs, fn
 
         if schedule == "group_mapped":
             plan = make_plan(layout, schedule)
-            buckets = []
-            for b in plan.buckets:
-                buckets.append((
-                    jnp.asarray(b["tiles"]),
-                    jnp.asarray(csr.indices[b["atom_slots"]]),
-                    jnp.asarray(np.where(b["valid"],
-                                         csr.vals[b["atom_slots"]], 0)),
-                ))
+            bufs = dict(buckets=[
+                (jnp.asarray(b["tiles"]),
+                 jnp.asarray(csr.indices[b["atom_slots"]]),
+                 jnp.asarray(np.where(b["valid"],
+                                      csr.vals[b["atom_slots"]], 0)))
+                for b in plan.buckets])
 
-            def fn(x):
+            def fn(b, x):
                 y = jnp.zeros(rows, dtype=x.dtype)
-                for tiles, idx, v in buckets:
+                for tiles, idx, v in b["buckets"]:
                     y = y.at[tiles].add((v * x[idx]).sum(axis=1))
                 return y
-            return fn
+            return bufs, fn
 
         # balanced flat schedules
         plan = make_plan(layout, schedule,
@@ -137,20 +137,22 @@ class SpMVOperator:
 
     # ------------------------------------------------------------- COO
     def _build_coo(self, coo: COO, schedule, block, impl):
-        jnp = _jnp()
+        import jax.numpy as jnp
+
         rows = self.rows
-        vals = jnp.asarray(coo.vals)
-        cols = jnp.asarray(coo.cols)
-        rid = jnp.asarray(coo.rows)
         sorted_rows = bool(np.all(np.diff(coo.rows) >= 0))
 
         if schedule in ("row_mapped", "group_mapped"):
             # tile == atom == nonzero: both collapse to the scatter
             # reduction (reference: spmv/coo_thread_mapped.cuh:37-89).
-            def fn(x):
-                return _segment_sum(vals * x[cols], rid, rows,
-                                    sorted_ids=sorted_rows)
-            return fn
+            bufs = dict(vals=jnp.asarray(coo.vals),
+                        cols=jnp.asarray(coo.cols),
+                        rid=jnp.asarray(coo.rows))
+
+            def fn(b, x):
+                return _segment_sum(b["vals"] * x[b["cols"]], b["rid"],
+                                    rows, sorted_ids=sorted_rows)
+            return bufs, fn
 
         # flat schedules over the degenerate COO layout: per-block partial
         # products, combined through the *matrix* row ids.
@@ -167,22 +169,25 @@ class SpMVOperator:
 
     # ------------------------------------------------------------- CSC
     def _build_csc(self, csc: CSC, schedule, block, impl):
-        jnp = _jnp()
+        import jax.numpy as jnp
+
         rows = self.rows
         # tile = column; atoms scatter to arbitrary output rows, so every
         # schedule funnels into the scatter reduction — same shape as the
         # reference's single csc kernel (spmv/csc_thread_mapped.cuh:37-87).
-        vals = jnp.asarray(csc.vals)
-        out_rows = jnp.asarray(csc.indices)
-        col_of_atom = jnp.asarray(csc.col_ids())
+        bufs = dict(vals=jnp.asarray(csc.vals),
+                    out_rows=jnp.asarray(csc.indices),
+                    col_of_atom=jnp.asarray(csc.col_ids()))
 
-        def fn(x):
-            return _segment_sum(vals * x[col_of_atom], out_rows, rows)
-        return fn
+        def fn(b, x):
+            return _segment_sum(b["vals"] * x[b["col_of_atom"]],
+                                b["out_rows"], rows)
+        return bufs, fn
 
     # ------------------------------------------------------------- ELL
     def _build_ell(self, ell: ELL, schedule, block, impl):
-        jnp = _jnp()
+        import jax.numpy as jnp
+
         rows = self.rows
         idx_plane, val_plane = ell.as_jax(pad_rows_to=1, pad_pitch_to=1)
 
@@ -190,9 +195,11 @@ class SpMVOperator:
             # The plane is already one uniform group: a dense masked
             # row-reduction (reference: spmv/ell_thread_mapped.cuh:28-76,
             # whose sentinel skips become multiply-by-zero).
-            def fn(x):
-                return (val_plane * x[idx_plane]).sum(axis=1)[:rows]
-            return fn
+            bufs = dict(idx=idx_plane, val=val_plane)
+
+            def fn(b, x):
+                return (b["val"] * x[b["idx"]]).sum(axis=1)[:rows]
+            return bufs, fn
 
         # flat schedules over the closed-form uniform layout — the
         # contract stress test (reference: spmv/ell_merge_path.cuh:32-126)
@@ -211,43 +218,46 @@ class SpMVOperator:
 
     # ------------------------------------------------------------- BCSR
     def _build_bcsr(self, bcsr: BCSR, schedule, block, impl):
-        jnp = _jnp()
+        import jax.numpy as jnp
+
         rows = self.rows
         R, C = bcsr.block_shape
-        vals = jnp.asarray(bcsr.vals)                      # [nb, R, C]
-        bcols = jnp.asarray(bcsr.block_cols)
-        brid = jnp.asarray(bcsr.block_row_ids())
         nbr = bcsr.num_block_rows
         ncols_pad = bcsr.num_block_cols * C
+        cols = self.cols
+        bufs = dict(vals=jnp.asarray(bcsr.vals),
+                    bcols=jnp.asarray(bcsr.block_cols),
+                    brid=jnp.asarray(bcsr.block_row_ids()))
 
         # Atoms are stored blocks: per-atom work is a dense RxC
         # mini-matvec — MXU food (reference: spmv/bcsr_thread_mapped.cuh:
         # 36-123 accumulates R registers; here it is a batched einsum).
-        def fn(x):
-            xp = jnp.zeros(ncols_pad, x.dtype).at[: self.cols].set(x)
-            xb = xp.reshape(-1, C)[bcols]                  # [nb, C]
-            prod = jnp.einsum("brc,bc->br", vals, xb)      # [nb, R]
-            yb = _segment_sum(prod, brid, nbr, sorted_ids=True)
+        def fn(b, x):
+            xp = jnp.zeros(ncols_pad, x.dtype).at[:cols].set(x)
+            xb = xp.reshape(-1, C)[b["bcols"]]             # [nb, C]
+            prod = jnp.einsum("brc,bc->br", b["vals"], xb)  # [nb, R]
+            yb = _segment_sum(prod, b["brid"], nbr, sorted_ids=True)
             return yb.reshape(-1)[:rows]
-        return fn
+        return bufs, fn
 
     # ------------------------------------------------------------- DIA
     def _build_dia(self, dia: DIA, schedule, block, impl):
-        jnp = _jnp()
+        import jax.numpy as jnp
+
         rows, cols = self.rows, self.cols
         offs = dia.diag_offsets.astype(np.int64)
         # per-diagonal column index of each row; clamped + masked
         col_idx = np.arange(rows)[None, :] + offs[:, None]   # [D, rows]
         mask = (col_idx >= 0) & (col_idx < cols)
         col_idx = np.clip(col_idx, 0, max(cols - 1, 0))
-        vals = jnp.asarray(np.where(mask, dia.vals, 0))
-        col_idx = jnp.asarray(col_idx)
+        bufs = dict(vals=jnp.asarray(np.where(mask, dia.vals, 0)),
+                    col_idx=jnp.asarray(col_idx))
 
         # Diagonal sweep: dense shifted multiplies, no irregularity at all
         # (reference: spmv/dia_thread_mapped.cuh:36-96).
-        def fn(x):
-            return (vals * x[col_idx]).sum(axis=0)
-        return fn
+        def fn(b, x):
+            return (b["vals"] * x[b["col_idx"]]).sum(axis=0)
+        return bufs, fn
 
     # ------------------------------------------------- flat XLA executor
     def _flat_xla(self, plan, vals, gather_cols, out_of_tile):
@@ -259,24 +269,26 @@ class SpMVOperator:
         tile_starts+rel_tile; COO routes through the matrix row ids
         (``out_of_tile``).
         """
-        jnp = _jnp()
+        import jax.numpy as jnp
+
         rows = self.rows
-        v = jnp.asarray(vals)                       # [B, K], 0-padded
-        gc = jnp.asarray(gather_cols)               # [B, K]
         if out_of_tile is None:
             ids = (plan.tile_starts[:-1, None].astype(np.int64)
                    + plan.rel_tile)
             ids = np.where(plan.valid, np.minimum(ids, rows), rows)
+            sorted_ids = True
         else:
             ids = np.where(plan.valid, out_of_tile[plan.atom_gather], rows)
-        ids = jnp.asarray(ids.astype(np.int32))
+            sorted_ids = False
+        bufs = dict(v=jnp.asarray(vals), gc=jnp.asarray(gather_cols),
+                    ids=jnp.asarray(ids.astype(np.int32)))
 
-        def fn(x):
-            products = v * x[gc]                    # [B, K]
-            y = _segment_sum(products.ravel(), ids.ravel(), rows + 1,
-                             sorted_ids=(out_of_tile is None))
+        def fn(b, x):
+            products = b["v"] * x[b["gc"]]          # [B, K]
+            y = _segment_sum(products.ravel(), b["ids"].ravel(), rows + 1,
+                             sorted_ids=sorted_ids)
             return y[:rows]
-        return fn
+        return bufs, fn
 
 
 def _op_cache(mat) -> dict:

@@ -67,20 +67,19 @@ class DistSpMM:
                                       indices_are_sorted=True)
             return out[None]
 
-        sharded = shard_map(
+        # buffers ride as jit arguments, not closure constants (closure
+        # capture bakes them into the HLO — see ops/spmv.py docstring)
+        return shard_map(
             local, mesh=self.mesh,
             in_specs=(P("graph"), P("graph"), P("graph"), P("graph")),
             out_specs=P("graph"),
             check_vma=False,
         )
 
-        def fn(h):
-            return sharded(self.offsets, self.indices, self.vals, h)
-        return fn
-
     def __call__(self, h_stacked):
         import jax.numpy as jnp
-        return self._fn(jnp.asarray(h_stacked))
+        return self._fn(self.offsets, self.indices, self.vals,
+                        jnp.asarray(h_stacked))
 
 
 class DistGCN:
@@ -104,12 +103,18 @@ class DistGCN:
         from loops_tpu.models.gcn import init_gcn
         return init_gcn(key, self.dims)
 
-    def apply(self, params, h_stacked):
+    def apply(self, params, h_stacked, adj=None):
+        """Forward over stacked shards. ``adj`` = (offsets, indices,
+        vals) when called inside an outer jit so the adjacency rides as
+        traced arguments; defaults to the staged buffers for direct use."""
         import jax
 
+        prop = self.propagate
+        o, i_, v = adj if adj is not None else (
+            prop.offsets, prop.indices, prop.vals)
         h = h_stacked
         for i, layer in enumerate(params):
-            h = self.propagate(h @ layer["w"]) + layer["b"]
+            h = prop._fn(o, i_, v, h @ layer["w"]) + layer["b"]
             if i + 1 < len(params):
                 h = jax.nn.relu(h)
         return h
@@ -118,8 +123,9 @@ class DistGCN:
         """Distributed full-graph training step over stacked shards.
 
         features [N, F0]; labels [N]; train_mask [N] — staged into padded
-        stacked form here; the returned step is jit-compiled with params
-        replicated and activations sharded.
+        stacked form. Returns ``step(params, opt_state) -> (params,
+        opt_state, loss)``; all graph/feature buffers are threaded
+        through the jit as arguments (never HLO constants).
         """
         import jax
         import jax.numpy as jnp
@@ -133,20 +139,25 @@ class DistGCN:
             r0, r1 = plan.row_starts[p], plan.row_starts[p + 1]
             lab[p, : r1 - r0] = labels[r0:r1]
             msk[p, : r1 - r0] = train_mask[r0:r1]
-        lab, msk = jnp.asarray(lab), jnp.asarray(msk)
+        bufs = dict(h0=h0, lab=jnp.asarray(lab), msk=jnp.asarray(msk),
+                    adj=(self.propagate.offsets, self.propagate.indices,
+                         self.propagate.vals))
 
-        def loss_fn(params):
-            logits = self.apply(params, h0)          # [P, R, C]
+        def loss_fn(params, b):
+            logits = self.apply(params, b["h0"], adj=b["adj"])  # [P, R, C]
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(
-                logp, lab[..., None], axis=-1)[..., 0]
-            return (nll * msk).sum() / jnp.maximum(msk.sum(), 1.0)
+                logp, b["lab"][..., None], axis=-1)[..., 0]
+            return (nll * b["msk"]).sum() / jnp.maximum(b["msk"].sum(), 1.0)
 
         @jax.jit
-        def step(params, opt_state):
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+        def _step(params, opt_state, b):
+            loss, grads = jax.value_and_grad(loss_fn)(params, b)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
+
+        def step(params, opt_state):
+            return _step(params, opt_state, bufs)
 
         return step
