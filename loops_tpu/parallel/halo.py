@@ -1,0 +1,143 @@
+"""Targeted halo exchange — all_to_all of only the boundary features.
+
+The all_gather in parallel/dist_ops.py moves the full N x F feature
+table to every chip each layer — simple, correct, and O(N) per chip. At
+pod scale (ogbn-papers100M) the scalable protocol exchanges only **halo
+nodes**: features a chip's edges actually reference remotely.
+
+Because the graph is static, the entire exchange is planned on the host:
+
+  * ``need[p][q]``  — global ids device p needs from owner q (sorted).
+  * ``send_idx[q, p, :]`` — *owner-local* rows q must ship to p; the
+    runtime is then one gather + one ``all_to_all`` + one concat.
+  * column indices are remapped at plan time into each device's
+    ``[local rows | halo slots]`` coordinate space, so the kernel is
+    identical to the single-chip one — the halo is just more rows.
+
+Per-layer volume drops from N*F to P*H*F (H = max pairwise halo,
+padded). Differentiable: all_to_all transposes to the reverse
+all_to_all.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from loops_tpu.formats.base import INDEX_DTYPE
+from loops_tpu.parallel.graph_partition import EdgePartition
+
+
+@dataclass
+class HaloPlan:
+    part: EdgePartition
+    H: int                    # padded per-pair halo size
+    send_idx: np.ndarray      # [P, P, H] owner-local rows: [q, p] = q->p
+    send_valid: np.ndarray    # [P, P, H] bool
+    indices_local: np.ndarray  # [P, nnz_pd] edge cols in local+halo space
+
+    @classmethod
+    def build(cls, part: EdgePartition) -> "HaloPlan":
+        P = part.num_devices
+        R = part.rows_per_dev
+        # need[p][q]: sorted global ids p needs from q (remote only)
+        need = [[None] * P for _ in range(P)]
+        H = 1
+        for p in range(P):
+            nnz = int(part.offsets[p, -1])
+            touched = np.unique(part.indices[p, :nnz])
+            owners = part.owner_of(touched)
+            for q in range(P):
+                ids = touched[(owners == q) & (q != p)]
+                need[p][q] = ids
+                H = max(H, len(ids))
+
+        send_idx = np.zeros((P, P, H), dtype=INDEX_DTYPE)
+        send_valid = np.zeros((P, P, H), dtype=bool)
+        for p in range(P):
+            for q in range(P):
+                ids = need[p][q]
+                send_idx[q, p, : len(ids)] = ids - part.row_starts[q]
+                send_valid[q, p, : len(ids)] = True
+
+        # remap edge columns into [local | halo] space:
+        #   local col c (owner p):            c - row_starts[p]
+        #   remote col c (owner q, slot s):   R + q*H + s
+        indices_local = np.zeros_like(part.indices)
+        for p in range(P):
+            nnz = int(part.offsets[p, -1])
+            cols = part.indices[p, :nnz]
+            owners = part.owner_of(cols)
+            local = cols - part.row_starts[owners]
+            out = np.where(owners == p, local, 0).astype(np.int64)
+            for q in range(P):
+                if q == p:
+                    continue
+                m = owners == q
+                if not m.any():
+                    continue
+                slot = np.searchsorted(need[p][q], cols[m])
+                out[m] = R + q * H + slot
+            indices_local[p, :nnz] = out
+        return cls(part, H, send_idx, send_valid, indices_local)
+
+
+class DistSpMMHalo:
+    """Distributed SpMM with targeted halo exchange.
+
+    Same interface as DistSpMM: ``op(h_stacked) -> [P, rows_pd, F]``.
+    """
+
+    def __init__(self, plan: HaloPlan, mesh):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.plan = plan
+        self.mesh = mesh
+        part = plan.part
+        shard = NamedSharding(mesh, P("graph"))
+        self.offsets = jax.device_put(jnp.asarray(part.offsets), shard)
+        self.indices = jax.device_put(jnp.asarray(plan.indices_local), shard)
+        self.vals = jax.device_put(jnp.asarray(part.vals), shard)
+        self.send_idx = jax.device_put(jnp.asarray(plan.send_idx), shard)
+        self.send_valid = jax.device_put(
+            jnp.asarray(plan.send_valid.astype(np.float32)), shard)
+        self._fn = jax.jit(self._build())
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        part = self.plan.part
+        E = part.nnz_per_dev
+        R = part.rows_per_dev
+
+        def local(send_idx, send_valid, offs, idx, vals, h):
+            # send_idx [1, P, H]; h [1, R, F]
+            send = h[0][send_idx[0]] * send_valid[0][..., None]  # [P, H, F]
+            halo = jax.lax.all_to_all(send, "graph", split_axis=0,
+                                      concat_axis=0, tiled=True)
+            table = jnp.concatenate(
+                [h[0], halo.reshape(-1, h.shape[-1])], axis=0)
+            atoms = jnp.arange(E, dtype=jnp.int32)
+            rid = jnp.searchsorted(offs[0, 1:-1], atoms,
+                                   side="right").astype(jnp.int32)
+            prod = vals[0][:, None] * table[idx[0]]
+            out = jax.ops.segment_sum(prod, rid, num_segments=R,
+                                      indices_are_sorted=True)
+            return out[None]
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("graph"),) * 6,
+            out_specs=P("graph"),
+            check_vma=False,
+        )
+
+    def __call__(self, h_stacked):
+        import jax.numpy as jnp
+        return self._fn(self.send_idx, self.send_valid, self.offsets,
+                        self.indices, self.vals, jnp.asarray(h_stacked))

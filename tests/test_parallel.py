@@ -110,3 +110,67 @@ def test_dist_gcn_train_step_runs_and_learns():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, losses[::10]
+
+
+def test_halo_plan_and_dist_spmm_halo_matches():
+    from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
+
+    g = _graph(48, seed=4)
+    csr = g.adj
+    mesh = make_mesh(8)
+    plan = EdgePartition.build(csr, 8)
+    halo = HaloPlan.build(plan)
+    # remapped indices stay in [0, R + P*H)
+    assert halo.indices_local.max() < plan.rows_per_dev + 8 * halo.H
+    op = DistSpMMHalo(halo, mesh)
+    X = np.random.default_rng(5).normal(size=(48, 6)).astype(np.float32)
+    h = plan.pad_features(X)
+    got = plan.unpad_output(np.asarray(op(h)))
+    expect = reference.spmm(csr, X)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_volume_smaller_than_full_gather():
+    from loops_tpu.parallel.halo import HaloPlan
+
+    # ring-ish local graph: each node links to +-2 neighbors -> halos are
+    # only partition-boundary nodes
+    n = 128
+    src = np.concatenate([np.arange(n)] * 4)
+    dst = np.concatenate([(np.arange(n) + d) % n for d in (1, 2, n - 1,
+                                                           n - 2)])
+    g = Graph.from_edges(src, dst, n)
+    plan = EdgePartition.build(g.adj, 8)
+    halo = HaloPlan.build(plan)
+    # per-pair halo is tiny vs the full table
+    assert 8 * halo.H < n // 2
+
+
+def test_halo_gradients_flow():
+    import jax
+
+    from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
+
+    g = _graph(32, seed=10)
+    mesh = make_mesh(8)
+    plan = EdgePartition.build(g.adj, 8)
+    op = DistSpMMHalo(HaloPlan.build(plan), mesh)
+    X = np.random.default_rng(6).normal(
+        size=(32, 4)).astype(np.float32)
+    h = plan.pad_features(X)
+
+    def loss(h):
+        return (op(h) ** 2).sum()
+
+    grad = jax.grad(loss)(h)
+    assert np.isfinite(np.asarray(grad)).all()
+    # compare against dense-graph autodiff oracle
+    import jax.numpy as jnp
+    dense = jnp.asarray(g.adj.to_dense())
+
+    def loss_dense(X):
+        return ((dense @ X) ** 2).sum()
+
+    gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(X)))
+    gp = plan.unpad_output(np.asarray(grad))
+    np.testing.assert_allclose(gp, gd, rtol=1e-3, atol=1e-3)
