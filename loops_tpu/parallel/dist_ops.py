@@ -44,6 +44,8 @@ class DistSpMM:
         self.indices = jax.device_put(jnp.asarray(plan.indices_padded),
                                       shard)
         self.vals = jax.device_put(jnp.asarray(plan.vals), shard)
+        # uniform distributed-op interface: _fn(*buffers, h)
+        self.buffers = (self.offsets, self.indices, self.vals)
         self._fn = jax.jit(self._build())
 
     def _build(self):
@@ -78,8 +80,7 @@ class DistSpMM:
 
     def __call__(self, h_stacked):
         import jax.numpy as jnp
-        return self._fn(self.offsets, self.indices, self.vals,
-                        jnp.asarray(h_stacked))
+        return self._fn(*self.buffers, jnp.asarray(h_stacked))
 
 
 class DistGCN:
@@ -87,7 +88,8 @@ class DistGCN:
     and W replicated. The GCN-normalized adjacency is partitioned once at
     construction."""
 
-    def __init__(self, graph, dims, mesh, num_devices: int | None = None):
+    def __init__(self, graph, dims, mesh, num_devices: int | None = None,
+                 exchange: str = "all_gather"):
         from loops_tpu.models.graph import Graph
 
         g = graph if isinstance(graph, Graph) else Graph(graph)
@@ -97,24 +99,29 @@ class DistGCN:
         self.plan = EdgePartition.build(norm.adj, P_)
         self.mesh = mesh
         self.dims = list(dims)
-        self.propagate = DistSpMM(self.plan, mesh)
+        if exchange == "halo":
+            from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
+            self.propagate = DistSpMMHalo(HaloPlan.build(self.plan), mesh)
+        elif exchange == "all_gather":
+            self.propagate = DistSpMM(self.plan, mesh)
+        else:
+            raise ValueError(f"unknown exchange {exchange!r}")
 
     def init(self, key):
         from loops_tpu.models.gcn import init_gcn
         return init_gcn(key, self.dims)
 
     def apply(self, params, h_stacked, adj=None):
-        """Forward over stacked shards. ``adj`` = (offsets, indices,
-        vals) when called inside an outer jit so the adjacency rides as
-        traced arguments; defaults to the staged buffers for direct use."""
+        """Forward over stacked shards. ``adj`` = the propagate op's
+        buffer tuple when called inside an outer jit so the graph rides
+        as traced arguments; defaults to the staged buffers."""
         import jax
 
         prop = self.propagate
-        o, i_, v = adj if adj is not None else (
-            prop.offsets, prop.indices, prop.vals)
+        bufs = adj if adj is not None else prop.buffers
         h = h_stacked
         for i, layer in enumerate(params):
-            h = prop._fn(o, i_, v, h @ layer["w"]) + layer["b"]
+            h = prop._fn(*bufs, h @ layer["w"]) + layer["b"]
             if i + 1 < len(params):
                 h = jax.nn.relu(h)
         return h
@@ -140,8 +147,7 @@ class DistGCN:
             lab[p, : r1 - r0] = labels[r0:r1]
             msk[p, : r1 - r0] = train_mask[r0:r1]
         bufs = dict(h0=h0, lab=jnp.asarray(lab), msk=jnp.asarray(msk),
-                    adj=(self.propagate.offsets, self.propagate.indices,
-                         self.propagate.vals))
+                    adj=self.propagate.buffers)
 
         def loss_fn(params, b):
             logits = self.apply(params, b["h0"], adj=b["adj"])  # [P, R, C]

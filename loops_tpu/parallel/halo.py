@@ -103,6 +103,9 @@ class DistSpMMHalo:
         self.send_idx = jax.device_put(jnp.asarray(plan.send_idx), shard)
         self.send_valid = jax.device_put(
             jnp.asarray(plan.send_valid.astype(np.float32)), shard)
+        # uniform distributed-op interface: _fn(*buffers, h)
+        self.buffers = (self.send_idx, self.send_valid, self.offsets,
+                        self.indices, self.vals)
         self._fn = jax.jit(self._build())
 
     def _build(self):
@@ -139,5 +142,4 @@ class DistSpMMHalo:
 
     def __call__(self, h_stacked):
         import jax.numpy as jnp
-        return self._fn(self.send_idx, self.send_valid, self.offsets,
-                        self.indices, self.vals, jnp.asarray(h_stacked))
+        return self._fn(*self.buffers, jnp.asarray(h_stacked))

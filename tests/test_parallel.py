@@ -174,3 +174,18 @@ def test_halo_gradients_flow():
     gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(X)))
     gp = plan.unpad_output(np.asarray(grad))
     np.testing.assert_allclose(gp, gd, rtol=1e-3, atol=1e-3)
+
+
+def test_dist_gcn_halo_exchange_matches_all_gather():
+    import jax
+
+    g = _graph(40, seed=6)
+    mesh = make_mesh(8)
+    dims = [5, 7, 3]
+    m1 = DistGCN(g, dims, mesh, exchange="all_gather")
+    m2 = DistGCN(g, dims, mesh, exchange="halo")
+    params = m1.init(jax.random.PRNGKey(0))
+    X = np.random.default_rng(7).normal(size=(40, 5)).astype(np.float32)
+    o1 = m1.plan.unpad_output(np.asarray(m1.apply(params, m1.plan.pad_features(X))))
+    o2 = m2.plan.unpad_output(np.asarray(m2.apply(params, m2.plan.pad_features(X))))
+    np.testing.assert_allclose(o1, o2, rtol=1e-4, atol=1e-4)
