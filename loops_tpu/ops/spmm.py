@@ -40,7 +40,7 @@ class SpMMOperator:
     """Compiled SpMM bound to one sparse matrix: ``op(B) -> C``."""
 
     def __init__(self, mat, schedule: str = "row_mapped",
-                 impl: str = "xla", block_f: int = 512):
+                 impl: str = "xla", block_f: int = 512, dtype=None):
         import jax
 
         self.mat = mat
@@ -48,6 +48,7 @@ class SpMMOperator:
         self.schedule = schedule
         self.impl = impl
         self.block_f = block_f
+        self.dtype = dtype
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
         self._bufs, fn = builder(mat, schedule, impl)
         self._jit = jax.jit(fn)
@@ -122,7 +123,8 @@ class SpMMOperator:
             return bcsr_spmm_pallas(bcsr, block_f=self.block_f)
         if impl == "pallas2":
             from loops_tpu.ops.kernels.spmm_bcsr_v2 import bcsr_spmm_pallas_v2
-            return bcsr_spmm_pallas_v2(bcsr, block_f=self.block_f)
+            return bcsr_spmm_pallas_v2(bcsr, block_f=self.block_f,
+                                       dtype=self.dtype)
 
         rows = self.rows
         cols = self.cols

@@ -111,3 +111,27 @@ def test_sddmm_bcsr(impl, f):
         patch[:rr, :cc] = dense_dots[r0:r0 + rr, c0:c0 + cc]
         expect[k] = bcsr.vals[k] * patch
     assert count_mismatches(out, expect, atol=1e-3, rtol=1e-4) == 0
+
+
+def test_spmm_bcsr_pallas2_matches():
+    from loops_tpu.ops.spmm import SpMMOperator
+
+    csr = CASES["random"]()
+    bcsr = BCSR.from_csr(csr, 8, 128)
+    B = _B(csr.shape[1], 40)
+    op = SpMMOperator(bcsr, impl="pallas2", block_f=128)
+    C = np.asarray(op(B))
+    assert count_mismatches(C, reference.spmm(csr, B), 1e-3, 1e-4) == 0
+
+
+def test_spmm_bcsr_pallas2_bf16_stream():
+    from loops_tpu.ops.spmm import SpMMOperator
+
+    csr = CASES["random"]()
+    bcsr = BCSR.from_csr(csr, 8, 128)
+    B = _B(csr.shape[1], 24)
+    op = SpMMOperator(bcsr, impl="pallas2", block_f=128, dtype="bfloat16")
+    C = np.asarray(op(B))
+    ref = reference.spmm(csr, B)
+    rel = np.abs(C - ref).max() / max(np.abs(ref).max(), 1e-9)
+    assert rel < 5e-2, rel  # bf16 stream, f32 accumulate
