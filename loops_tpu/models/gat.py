@@ -1,0 +1,85 @@
+"""GAT (graph attention network) — the SDDMM -> segment-softmax -> SpMM
+composition.
+
+Beyond-reference model family: attention edge scoring is exactly the
+framework's primitive pair (BASELINE.json config 3 calls SpMM+SDDMM "the
+fused GNN primitive pair"); GAT is their natural consumer. Per head:
+
+    e_ij    = LeakyReLU(a_src . (W h_j) + a_dst . (W h_i))   (edge score)
+    alpha   = segment_softmax(e, by destination row)          (normalize)
+    h'_i    = sum_j alpha_ij (W h_j)                          (one SpMM)
+
+All three stages are balanced segmented/dense ops — no scatter beyond
+the segmented reductions, no atomics.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from loops_tpu.models.gcn import _glorot
+from loops_tpu.models.graph import Graph
+from loops_tpu.ops.segment import segment_softmax, segment_sum
+
+
+def init_gat(key, dims, heads: int = 4):
+    import jax
+
+    layers = []
+    keys = jax.random.split(key, 3 * (len(dims) - 1))
+    for i in range(len(dims) - 1):
+        # hidden layers consume the concatenation of all heads
+        d_in = dims[i] * (heads if i > 0 else 1)
+        d_out = dims[i + 1]
+        layers.append({
+            "w": _glorot(keys[3 * i], d_in, heads * d_out),
+            "a_src": _glorot(keys[3 * i + 1], heads, d_out),
+            "a_dst": _glorot(keys[3 * i + 2], heads, d_out),
+            "b": np.zeros(d_out, np.float32),
+        })
+    return layers
+
+
+class GAT:
+    """Multi-head GAT; heads are averaged on the last layer and
+    concatenated elsewhere (standard GAT head handling)."""
+
+    def __init__(self, graph: Graph, dims, heads: int = 4,
+                 negative_slope: float = 0.2):
+        self.graph = graph.add_self_loops()
+        self.dims = list(dims)
+        self.heads = heads
+        self.negative_slope = negative_slope
+        adj = self.graph.adj
+        import jax.numpy as jnp
+
+        self._dst = jnp.asarray(adj.row_ids())
+        self._src = jnp.asarray(adj.indices)
+        self._n = self.graph.num_nodes
+
+    def init(self, key):
+        return init_gat(key, self.dims, self.heads)
+
+    def apply(self, params, h):
+        import jax
+        import jax.numpy as jnp
+
+        H = self.heads
+        src, dst, n = self._src, self._dst, self._n
+        for li, layer in enumerate(params):
+            d_out = layer["a_src"].shape[1]
+            hw = (h @ layer["w"]).reshape(-1, H, d_out)     # [N, H, D]
+            # per-node attention logits (factorized SDDMM: the edge dot
+            # <a, [Wh_i || Wh_j]> splits into src/dst halves)
+            s_src = jnp.einsum("nhd,hd->nh", hw, layer["a_src"])
+            s_dst = jnp.einsum("nhd,hd->nh", hw, layer["a_dst"])
+            e = s_src[src] + s_dst[dst]                     # [E, H]
+            e = jax.nn.leaky_relu(e, self.negative_slope)
+            alpha = segment_softmax(e, dst, n, sorted_ids=True)  # [E, H]
+            # aggregate: per head, SpMM with alpha as edge values
+            msgs = alpha[..., None] * hw[src]               # [E, H, D]
+            out = segment_sum(msgs, dst, n, sorted_ids=True)  # [N, H, D]
+            if li + 1 < len(params):
+                h = jax.nn.elu(out.reshape(n, H * d_out))
+            else:
+                h = out.mean(axis=1) + layer["b"]
+        return h

@@ -141,3 +141,58 @@ def test_graphsage_full_and_sampled():
                              key=jax.random.PRNGKey(3))
     assert mb.shape == (3, 4)
     assert np.isfinite(np.asarray(mb)).all()
+
+
+def test_segment_softmax_normalizes():
+    import jax.numpy as jnp
+
+    from loops_tpu.ops.segment import segment_softmax
+
+    scores = jnp.asarray(np.array([1.0, 2.0, 3.0, -1.0, 500.0, 499.0],
+                                  np.float32))
+    seg = jnp.asarray(np.array([0, 0, 0, 2, 3, 3], np.int32))
+    w = np.asarray(segment_softmax(scores, seg, 4, sorted_ids=True))
+    np.testing.assert_allclose(w[:3].sum(), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(w[3], 1.0, rtol=1e-5)       # singleton
+    np.testing.assert_allclose(w[4:].sum(), 1.0, rtol=1e-5)  # stable @500
+    assert np.isfinite(w).all()
+
+
+def test_gat_forward_and_overfit():
+    import jax
+    import optax
+
+    from loops_tpu.models import GAT
+    from loops_tpu.models.train import accuracy, cross_entropy
+
+    g = _toy_graph(20, seed=11)
+    n, f, c = 20, 6, 3
+    rng = np.random.default_rng(4)
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    labels = rng.integers(0, c, n)
+
+    model = GAT(g, [f, 8, c], heads=2)
+    params = model.init(jax.random.PRNGKey(0))
+    logits = model.apply(params, feats)
+    assert logits.shape == (n, c)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    import jax.numpy as jnp
+
+    fx = jnp.asarray(feats)
+    lb = jnp.asarray(labels)
+    opt = optax.adam(2e-2)
+
+    @jax.jit
+    def step(prm, st):
+        loss, grads = jax.value_and_grad(
+            lambda p: cross_entropy(model.apply(p, fx), lb))(prm)
+        up, st = opt.update(grads, st, prm)
+        return optax.apply_updates(prm, up), st, loss
+
+    st = opt.init(params)
+    losses = []
+    for _ in range(80):
+        params, st, loss = step(params, st)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.6, losses[::20]
