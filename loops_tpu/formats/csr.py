@@ -57,7 +57,14 @@ class CSR:
     @classmethod
     def from_coo(cls, coo) -> "CSR":
         """COO -> CSR = sort_by_row + indices_to_offsets (reference:
-        csr.hxx:86-94)."""
+        csr.hxx:86-94). Large f32 inputs take the native counting-sort
+        path (loops_tpu/native/src/coo_to_csr.cpp) — O(nnz + rows) vs
+        lexsort's O(nnz log nnz) — with identical ordering semantics."""
+        if coo.nnz >= 100_000 and coo.vals.dtype == np.float32:
+            from loops_tpu.native.convert import coo_to_csr
+            res = coo_to_csr(coo.rows, coo.cols, coo.vals, coo.shape[0])
+            if res is not None:
+                return cls(coo.shape, *res)
         c = coo.sort_by_row()
         offsets = convert.indices_to_offsets(c.rows, coo.shape[0])
         return cls(coo.shape, offsets, c.cols, c.vals)

@@ -126,3 +126,42 @@ def test_native_parser_matches_python():
         pytest.skip("native library unavailable")
     np.testing.assert_allclose(
         arr, [[1, 2, 3.5], [4, 5, -625.0], [7, 8, 9]])
+
+
+def test_native_coo_to_csr_matches_numpy():
+    from loops_tpu.formats import COO
+    from loops_tpu.formats.convert import indices_to_offsets
+    from loops_tpu.native.convert import coo_to_csr
+
+    rng = np.random.default_rng(3)
+    n, nnz = 500, 20000
+    rows = rng.integers(0, n, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.normal(size=nnz).astype(np.float32)
+    res = coo_to_csr(rows, cols, vals, n)
+    if res is None:
+        pytest.skip("native library unavailable")
+    offsets, oc, ov = res
+    coo = COO((n, n), rows, cols, vals)
+    c = coo.sort_by_row()
+    np.testing.assert_array_equal(
+        offsets, indices_to_offsets(c.rows, n))
+    np.testing.assert_array_equal(oc, c.cols)
+    np.testing.assert_allclose(ov, c.vals)
+
+
+def test_native_coo_to_csr_fast_path_in_from_coo():
+    from loops_tpu.formats import COO
+
+    rng = np.random.default_rng(4)
+    n, nnz = 1000, 150_000  # above the native threshold
+    coo = COO((n, n), rng.integers(0, n, nnz), rng.integers(0, n, nnz),
+              rng.normal(size=nnz).astype(np.float32))
+    csr = coo.to_csr()
+    assert csr.nnz == nnz
+    # spot check a row against a numpy oracle
+    r = 17
+    m = np.asarray(coo.rows) == r
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(coo.cols)[m]),
+        csr.indices[csr.offsets[r]:csr.offsets[r + 1]])
