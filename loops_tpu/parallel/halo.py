@@ -36,6 +36,48 @@ class HaloPlan:
     send_valid: np.ndarray    # [P, P, H] bool
     indices_local: np.ndarray  # [P, nnz_pd] edge cols in local+halo space
 
+    # -------------------------------------------- interior/boundary split
+    def split_edges(self):
+        """Split each device's edges into interior (local columns) and
+        boundary (halo columns) sets with separate padded gather/segment
+        arrays — the structure that lets XLA overlap the all_to_all with
+        the interior reduction (independent dataflow).
+
+        Returns dict of [P, E_int/E_bnd] arrays: int_vals, int_cols,
+        int_rows, bnd_vals, bnd_cols (halo-space), bnd_rows.
+        """
+        part = self.part
+        P = part.num_devices
+        R = part.rows_per_dev
+        per_int, per_bnd = [], []
+        for p in range(P):
+            nnz = int(part.offsets[p, -1])
+            cols = self.indices_local[p, :nnz]
+            rows = np.searchsorted(part.offsets[p, 1:-1],
+                                   np.arange(nnz), side="right")
+            interior = cols < R
+            per_int.append((part.vals[p, :nnz][interior], cols[interior],
+                            rows[interior]))
+            b = ~interior
+            per_bnd.append((part.vals[p, :nnz][b], cols[b] - R, rows[b]))
+        E_int = max(max((len(v) for v, _, _ in per_int), default=1), 1)
+        E_bnd = max(max((len(v) for v, _, _ in per_bnd), default=1), 1)
+
+        def stack(per, E):
+            vals = np.zeros((P, E), np.float32)
+            cols = np.zeros((P, E), INDEX_DTYPE)
+            rows = np.full((P, E), R, INDEX_DTYPE)  # pad -> dropped seg
+            for p, (v, c, r) in enumerate(per):
+                vals[p, : len(v)] = v
+                cols[p, : len(v)] = c
+                rows[p, : len(v)] = r
+            return vals, cols, rows
+
+        iv, ic, ir = stack(per_int, E_int)
+        bv, bc, br = stack(per_bnd, E_bnd)
+        return dict(int_vals=iv, int_cols=ic, int_rows=ir,
+                    bnd_vals=bv, bnd_cols=bc, bnd_rows=br)
+
     @classmethod
     def build(cls, part: EdgePartition) -> "HaloPlan":
         P = part.num_devices
@@ -86,27 +128,75 @@ class DistSpMMHalo:
     """Distributed SpMM with targeted halo exchange.
 
     Same interface as DistSpMM: ``op(h_stacked) -> [P, rows_pd, F]``.
+
+    ``overlap=True`` splits edges into interior (local columns) and
+    boundary (halo columns) at plan time; the interior segmented
+    reduction and the all_to_all have independent dataflow, so XLA's
+    async collectives overlap communication with local aggregation —
+    the double-buffered pipeline the >=80% scaling target needs.
     """
 
-    def __init__(self, plan: HaloPlan, mesh):
+    def __init__(self, plan: HaloPlan, mesh, overlap: bool = False):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.plan = plan
         self.mesh = mesh
+        self.overlap = overlap
         part = plan.part
         shard = NamedSharding(mesh, P("graph"))
-        self.offsets = jax.device_put(jnp.asarray(part.offsets), shard)
-        self.indices = jax.device_put(jnp.asarray(plan.indices_local), shard)
-        self.vals = jax.device_put(jnp.asarray(part.vals), shard)
-        self.send_idx = jax.device_put(jnp.asarray(plan.send_idx), shard)
-        self.send_valid = jax.device_put(
-            jnp.asarray(plan.send_valid.astype(np.float32)), shard)
+
+        def put(a):
+            return jax.device_put(jnp.asarray(a), shard)
+
+        self.send_idx = put(plan.send_idx)
+        self.send_valid = put(plan.send_valid.astype(np.float32))
+        if overlap:
+            s = plan.split_edges()
+            self.buffers = (self.send_idx, self.send_valid,
+                            put(s["int_vals"]), put(s["int_cols"]),
+                            put(s["int_rows"]), put(s["bnd_vals"]),
+                            put(s["bnd_cols"]), put(s["bnd_rows"]))
+            self._fn = jax.jit(self._build_overlap())
+            return
+        self.offsets = put(part.offsets)
+        self.indices = put(plan.indices_local)
+        self.vals = put(part.vals)
         # uniform distributed-op interface: _fn(*buffers, h)
         self.buffers = (self.send_idx, self.send_valid, self.offsets,
                         self.indices, self.vals)
         self._fn = jax.jit(self._build())
+
+    def _build_overlap(self):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        R = self.plan.part.rows_per_dev
+
+        def local(send_idx, send_valid, iv, ic, ir, bv, bc, br, h):
+            send = h[0][send_idx[0]] * send_valid[0][..., None]
+            halo = jax.lax.all_to_all(send, "graph", split_axis=0,
+                                      concat_axis=0, tiled=True)
+            # interior reduce is independent of the all_to_all above —
+            # XLA schedules them concurrently
+            interior = jax.ops.segment_sum(
+                iv[0][:, None] * h[0][ic[0]], ir[0],
+                num_segments=R + 1)[:R]
+            halo_tbl = halo.reshape(-1, h.shape[-1])
+            boundary = jax.ops.segment_sum(
+                bv[0][:, None] * halo_tbl[bc[0]], br[0],
+                num_segments=R + 1)[:R]
+            return (interior + boundary)[None]
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("graph"),) * 8,
+            out_specs=P("graph"),
+            check_vma=False,
+        )
 
     def _build(self):
         import jax

@@ -189,3 +189,18 @@ def test_dist_gcn_halo_exchange_matches_all_gather():
     o1 = m1.plan.unpad_output(np.asarray(m1.apply(params, m1.plan.pad_features(X))))
     o2 = m2.plan.unpad_output(np.asarray(m2.apply(params, m2.plan.pad_features(X))))
     np.testing.assert_allclose(o1, o2, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_overlap_matches():
+    from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
+
+    g = _graph(48, seed=4)
+    csr = g.adj
+    mesh = make_mesh(8)
+    plan = EdgePartition.build(csr, 8)
+    halo = HaloPlan.build(plan)
+    op = DistSpMMHalo(halo, mesh, overlap=True)
+    X = np.random.default_rng(5).normal(size=(48, 6)).astype(np.float32)
+    got = plan.unpad_output(np.asarray(op(plan.pad_features(X))))
+    np.testing.assert_allclose(got, reference.spmm(csr, X),
+                               rtol=1e-4, atol=1e-4)
