@@ -193,7 +193,7 @@ class DistSpMMHalo:
 
         return shard_map(
             local, mesh=self.mesh,
-            in_specs=(P("graph"),) * 8,
+            in_specs=(P("graph"),) * 9,
             out_specs=P("graph"),
             check_vma=False,
         )
