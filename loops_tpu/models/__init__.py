@@ -6,3 +6,4 @@ from loops_tpu.models.message_passing import aggregate_operator, edge_aggregate 
 from loops_tpu.models.sage import GraphSAGE, init_sage  # noqa: F401
 from loops_tpu.models.sampling import sample_neighbors, sampled_block  # noqa: F401
 from loops_tpu.models import train  # noqa: F401
+from loops_tpu.models import checkpoint  # noqa: F401

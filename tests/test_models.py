@@ -196,3 +196,19 @@ def test_gat_forward_and_overfit():
         params, st, loss = step(params, st)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.6, losses[::20]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from loops_tpu.models import GCN, checkpoint
+
+    g = _toy_graph(10, seed=12)
+    model = GCN(g, [4, 6, 2], dropout=0.0)
+    params = model.init(jax.random.PRNGKey(5))
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, {"params": params, "step": 7})
+    state = checkpoint.restore(path, like={"params": params, "step": 7})
+    assert int(np.asarray(state["step"])) == 7
+    np.testing.assert_allclose(np.asarray(state["params"][0]["w"]),
+                               np.asarray(params[0]["w"]), rtol=1e-6)
