@@ -106,3 +106,23 @@ def test_unknown_schedule_rejected():
     csr = BATTERY["random"]()
     with pytest.raises(ValueError):
         spmv(csr, generate.make_input_vector(18), schedule="bucketing")
+
+
+def test_csr_f64_precision():
+    """Value-type genericity (reference builds each example x {float,
+    double} via LOOPS_VALUE_T, examples/spmv/CMakeLists.txt:28-56).
+    f64 runs through the same executors; on TPU it is emulated/slow but
+    correct — tests run on CPU."""
+    import jax
+
+    csr64 = generate.random_csr(20, 18, 0.25, seed=13, dtype=np.float64)
+    assert csr64.vals.dtype == np.float64
+    x = generate.make_input_vector(18, dtype=np.float64)
+    y_ref = reference.spmv(csr64, x, dtype=np.float64)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        for sched in ["row_mapped", "work_oriented"]:
+            y = np.asarray(spmv(csr64, x, schedule=sched, block=8))
+            np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
