@@ -95,7 +95,7 @@ def flat_spmv_pallas(csr, plan, interpret: bool | None = None):
         def _():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        for j in range(GROUP):
+        def body(j, _):
             prod = prod_ref[j, :].reshape(1, K)
             onehot = (rel_ref[j, :].reshape(K, 1)
                       == jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
@@ -105,6 +105,9 @@ def flat_spmv_pallas(csr, plan, interpret: bool | None = None):
             base = s0_ref[g * GROUP + j]
             y_ref[pl.ds(base, sub_rows), :] += partial.reshape(
                 sub_rows, LANES)
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
