@@ -27,14 +27,14 @@ def main(argv=None):
     import optax
 
     from loops_tpu.io import ogb
-    from loops_tpu.models import GCN, GraphSAGE
+    from loops_tpu.models import GAT, GCN, GraphSAGE
     from loops_tpu.models import train as T
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="ogbn-arxiv")
     p.add_argument("--scale", type=float, default=0.05,
                    help="node-count scale for the synthetic fallback")
-    p.add_argument("--model", default="gcn", choices=["gcn", "sage"])
+    p.add_argument("--model", default="gcn", choices=["gcn", "sage", "gat"])
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-2)
@@ -50,6 +50,8 @@ def main(argv=None):
     dims = [ds.features.shape[1], args.hidden, args.hidden, ds.num_classes]
     if args.model == "gcn":
         model = GCN(ds.graph, dims, dropout=args.dropout)
+    elif args.model == "gat":
+        model = GAT(ds.graph, dims, heads=4)
     else:
         model = GraphSAGE(ds.graph, dims)
     params = model.init(jax.random.PRNGKey(args.seed))

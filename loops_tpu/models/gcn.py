@@ -42,9 +42,11 @@ class GCN:
     """
 
     def __init__(self, graph: Graph, dims, dropout: float = 0.5,
-                 schedule: str = "row_mapped", impl: str = "xla"):
+                 schedule: str = "row_mapped", impl: str = "xla",
+                 remat: bool = False):
         self.dims = list(dims)
         self.dropout = dropout
+        self.remat = remat
         self.propagate = aggregate_operator(graph, op="gcn",
                                             schedule=schedule, impl=impl)
 
@@ -56,8 +58,17 @@ class GCN:
         import jax.numpy as jnp
 
         prop = self.propagate._fn  # jit-compiled SpMM closure
+
+        def layer_fn(layer, h):
+            return prop(h @ layer["w"]) + layer["b"]
+
+        if self.remat:
+            # trade recompute for activation memory (HBM is the usual
+            # bottleneck when N x hidden no longer fits alongside grads)
+            layer_fn = jax.checkpoint(layer_fn)
+
         for i, layer in enumerate(params):
-            h = prop(h @ layer["w"]) + layer["b"]
+            h = layer_fn(layer, h)
             if i + 1 < len(params):
                 h = jax.nn.relu(h)
                 if train and self.dropout > 0:
