@@ -26,3 +26,23 @@ include/loops/schedule.hxx):
 __version__ = "0.1.0"
 
 from loops_tpu.formats import COO, CSR, CSC, ELL, BCSR, DIA  # noqa: F401
+
+_SUBMODULES = ("formats", "io", "layout", "schedule", "ops", "models",
+               "parallel", "tuning", "utils", "native")
+
+
+def __getattr__(name):
+    # lazy submodule access (loops_tpu.ops, loops_tpu.models, ...) keeps
+    # `import loops_tpu` light — jax is only pulled in when device code
+    # is actually requested
+    if name in _SUBMODULES:
+        import importlib
+
+        mod = importlib.import_module(f"loops_tpu.{name}")
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module 'loops_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBMODULES))
