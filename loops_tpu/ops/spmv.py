@@ -129,6 +129,9 @@ class SpMVOperator:
         if impl == "pallas":
             from loops_tpu.ops.kernels.spmv_flat import flat_spmv_pallas
             return flat_spmv_pallas(csr, plan)
+        if impl == "pallas2":
+            from loops_tpu.ops.kernels.spmv_flat_v2 import flat_spmv_pallas_v2
+            return flat_spmv_pallas_v2(csr, plan)
         return self._flat_xla(plan,
                               vals=np.where(plan.valid,
                                             csr.vals[plan.atom_gather], 0),

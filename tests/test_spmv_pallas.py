@@ -37,3 +37,16 @@ def test_work_oriented_pallas_small_span():
     y = spmv(csr, x, schedule="work_oriented", block=16, impl="pallas")
     assert count_mismatches(np.asarray(y), reference.spmv(csr, x),
                             atol=1e-3, rtol=1e-4) == 0
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("block", [8, 32])
+def test_merge_path_pallas_v2_matches_reference(name, block):
+    csr = CASES[name]()
+    x = generate.make_input_vector(csr.shape[1])
+    y = spmv(csr, x, schedule="merge_path", block=block, impl="pallas2")
+    y_ref = reference.spmv(csr, x)
+    n = count_mismatches(np.asarray(y), y_ref, atol=1e-3, rtol=1e-4)
+    assert n == 0, f"v2/{name}/block={block}: {n} mismatches"
+    rep = reference.rigorously_validate_spmv(csr, x, np.asarray(y))
+    assert rep.verdict == "NOT_A_BUG"
