@@ -22,3 +22,10 @@ from loops_tpu.layout.views import (  # noqa: F401
     OffsetsLayout,
     UniformLayout,
 )
+from loops_tpu.layout.reorder import (  # noqa: F401
+    bandwidth,
+    bfs_order,
+    degree_order,
+    inverse_permutation,
+    permute_csr,
+)

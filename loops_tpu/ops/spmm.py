@@ -83,10 +83,18 @@ class SpMMOperator:
         bufs = dict(vals=jnp.asarray(csr.vals),
                     cols=jnp.asarray(csr.indices),
                     rid=jnp.asarray(csr.row_ids()))
+        dtype = self.dtype
 
         def fn(b, B):
-            return _segment_sum(b["vals"][:, None] * B[b["cols"]],
-                                b["rid"], rows, sorted_ids=True)
+            if dtype is not None:
+                # bf16 gather halves the dominant random-read traffic;
+                # accumulation stays f32
+                import jax.numpy as jnp
+                prod = (b["vals"].astype(dtype)[:, None]
+                        * B.astype(dtype)[b["cols"]]).astype(jnp.float32)
+            else:
+                prod = b["vals"][:, None] * B[b["cols"]]
+            return _segment_sum(prod, b["rid"], rows, sorted_ids=True)
         return bufs, fn
 
     # ------------------------------------------------------------- COO

@@ -135,3 +135,15 @@ def test_spmm_bcsr_pallas2_bf16_stream():
     ref = reference.spmm(csr, B)
     rel = np.abs(C - ref).max() / max(np.abs(ref).max(), 1e-9)
     assert rel < 5e-2, rel  # bf16 stream, f32 accumulate
+
+
+def test_spmm_csr_bf16_gather():
+    from loops_tpu.ops.spmm import SpMMOperator
+
+    csr = CASES["random"]()
+    B = _B(csr.shape[1], 16)
+    op = SpMMOperator(csr, dtype="bfloat16")
+    C = np.asarray(op(B))
+    ref = reference.spmm(csr, B)
+    rel = np.abs(C - ref).max() / max(np.abs(ref).max(), 1e-9)
+    assert rel < 5e-2, rel
