@@ -1,5 +1,5 @@
 """Multi-chip execution: meshes, edge-partitioned graphs, distributed ops."""
-from loops_tpu.parallel.dist_ops import DistGCN, DistSpMM  # noqa: F401
+from loops_tpu.parallel.dist_ops import DistGCN, DistGraphSAGE, DistSpMM  # noqa: F401
 from loops_tpu.parallel.graph_partition import EdgePartition  # noqa: F401
 from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan  # noqa: F401
 from loops_tpu.parallel.mesh import make_mesh, make_mesh_2d  # noqa: F401

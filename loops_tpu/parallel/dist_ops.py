@@ -126,6 +126,18 @@ class DistGCN:
                 h = jax.nn.relu(h)
         return h
 
+    @staticmethod
+    def _stack_labels(plan, labels, train_mask):
+        import jax.numpy as jnp
+
+        lab = np.zeros((plan.num_devices, plan.rows_per_dev), np.int32)
+        msk = np.zeros((plan.num_devices, plan.rows_per_dev), np.float32)
+        for p in range(plan.num_devices):
+            r0, r1 = plan.row_starts[p], plan.row_starts[p + 1]
+            lab[p, : r1 - r0] = labels[r0:r1]
+            msk[p, : r1 - r0] = train_mask[r0:r1]
+        return jnp.asarray(lab), jnp.asarray(msk)
+
     def make_train_step(self, optimizer, features, labels, train_mask):
         """Distributed full-graph training step over stacked shards.
 
@@ -140,17 +152,81 @@ class DistGCN:
 
         plan = self.plan
         h0 = jnp.asarray(plan.pad_features(np.asarray(features)))
-        lab = np.zeros((plan.num_devices, plan.rows_per_dev), np.int32)
-        msk = np.zeros((plan.num_devices, plan.rows_per_dev), np.float32)
-        for p in range(plan.num_devices):
-            r0, r1 = plan.row_starts[p], plan.row_starts[p + 1]
-            lab[p, : r1 - r0] = labels[r0:r1]
-            msk[p, : r1 - r0] = train_mask[r0:r1]
-        bufs = dict(h0=h0, lab=jnp.asarray(lab), msk=jnp.asarray(msk),
+        lab, msk = self._stack_labels(plan, labels, train_mask)
+        bufs = dict(h0=h0, lab=lab, msk=msk,
                     adj=self.propagate.buffers)
 
         def loss_fn(params, b):
             logits = self.apply(params, b["h0"], adj=b["adj"])  # [P, R, C]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, b["lab"][..., None], axis=-1)[..., 0]
+            return (nll * b["msk"]).sum() / jnp.maximum(b["msk"].sum(), 1.0)
+
+        @jax.jit
+        def _step(params, opt_state, b):
+            loss, grads = jax.value_and_grad(loss_fn)(params, b)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def step(params, opt_state):
+            return _step(params, opt_state, bufs)
+
+        return step
+
+
+class DistGraphSAGE:
+    """Distributed GraphSAGE: h' = act(h W_self + meanagg(h) W_neigh + b)
+    with the mean-normalized adjacency partitioned like DistGCN."""
+
+    def __init__(self, graph, dims, mesh, num_devices: int | None = None,
+                 exchange: str = "all_gather"):
+        from loops_tpu.models.graph import Graph
+
+        g = graph if isinstance(graph, Graph) else Graph(graph)
+        norm = g.mean_normalized()
+        P_ = num_devices or int(np.prod([mesh.shape[a] for a in
+                                         mesh.axis_names]))
+        self.plan = EdgePartition.build(norm.adj, P_)
+        self.mesh = mesh
+        self.dims = list(dims)
+        if exchange == "halo":
+            from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
+            self.propagate = DistSpMMHalo(HaloPlan.build(self.plan), mesh)
+        else:
+            self.propagate = DistSpMM(self.plan, mesh)
+
+    def init(self, key):
+        from loops_tpu.models.sage import init_sage
+        return init_sage(key, self.dims)
+
+    def apply(self, params, h_stacked, adj=None):
+        import jax
+
+        prop = self.propagate
+        bufs = adj if adj is not None else prop.buffers
+        h = h_stacked
+        for i, layer in enumerate(params):
+            neigh = prop._fn(*bufs, h)
+            h = (h @ layer["w_self"] + neigh @ layer["w_neigh"]
+                 + layer["b"])
+            if i + 1 < len(params):
+                h = jax.nn.relu(h)
+        return h
+
+    def make_train_step(self, optimizer, features, labels, train_mask):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        plan = self.plan
+        h0 = jnp.asarray(plan.pad_features(np.asarray(features)))
+        lab, msk = DistGCN._stack_labels(plan, labels, train_mask)
+        bufs = dict(h0=h0, lab=lab, msk=msk, adj=self.propagate.buffers)
+
+        def loss_fn(params, b):
+            logits = self.apply(params, b["h0"], adj=b["adj"])
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(
                 logp, b["lab"][..., None], axis=-1)[..., 0]

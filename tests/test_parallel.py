@@ -204,3 +204,34 @@ def test_halo_overlap_matches():
     got = plan.unpad_output(np.asarray(op(plan.pad_features(X))))
     np.testing.assert_allclose(got, reference.spmm(csr, X),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dist_graphsage_matches_single_device():
+    import jax
+
+    from loops_tpu.models import GraphSAGE
+    from loops_tpu.parallel import DistGraphSAGE
+
+    g = _graph(36, seed=12)
+    mesh = make_mesh(8)
+    dims = [5, 6, 3]
+    dist = DistGraphSAGE(g, dims, mesh)
+    params = dist.init(jax.random.PRNGKey(0))
+    X = np.random.default_rng(8).normal(size=(36, 5)).astype(np.float32)
+    out = dist.plan.unpad_output(
+        np.asarray(dist.apply(params, dist.plan.pad_features(X))))
+    single = GraphSAGE(g, dims)
+    expect = np.asarray(single.apply(params, X))
+    np.testing.assert_allclose(out, expect, rtol=1e-3, atol=1e-3)
+
+    # train step descends
+    import optax
+    y = np.random.default_rng(9).integers(0, 3, 36).astype(np.int32)
+    opt = optax.adam(3e-2)
+    step = dist.make_train_step(opt, X, y, np.ones(36, np.float32))
+    st = opt.init(params)
+    losses = []
+    for _ in range(30):
+        params, st, loss = step(params, st)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
