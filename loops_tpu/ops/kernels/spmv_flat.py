@@ -95,21 +95,14 @@ def flat_spmv_pallas(csr, plan, interpret: bool | None = None):
         def _():
             y_ref[:] = jnp.zeros_like(y_ref)
 
+        from loops_tpu.ops.kernels.mxu_exact import exact_onehot_dot
+
         def body(j, _):
             prod = prod_ref[j, :].reshape(1, K)
             onehot = (rel_ref[j, :].reshape(K, 1)
                       == jax.lax.broadcasted_iota(jnp.int32, (K, R), 1)
                       ).astype(jnp.float32)
-            # The MXU's default f32 path truncates inputs to bf16; with a
-            # 0/1 one-hot the dot is a plain sum, so splitting the
-            # products into bf16 hi + residual lo makes two default-
-            # precision dots reproduce the exact f32 segmented sum.
-            hi = prod.astype(jnp.bfloat16).astype(jnp.float32)
-            lo = prod - hi
-            partial = (jnp.dot(hi, onehot,
-                               preferred_element_type=jnp.float32)
-                       + jnp.dot(lo, onehot,
-                                 preferred_element_type=jnp.float32))
+            partial = exact_onehot_dot(prod, onehot)
             base = s0_ref[g * GROUP + j]
             y_ref[pl.ds(base, sub_rows), :] += partial.reshape(
                 sub_rows, LANES)

@@ -124,16 +124,7 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
     )
     sub_rows = R // LANES
 
-    def exact_dot(x, onehot):
-        """x [1, N] gathered through a 0/1 one-hot, f32-exact on the MXU
-        via a 3-way bf16 split (8+8+8 mantissa bits covers f32's 24)."""
-        h1 = x.astype(jnp.bfloat16).astype(jnp.float32)
-        r1 = x - h1
-        h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-        r2 = r1 - h2
-        return (jnp.dot(h1, onehot, preferred_element_type=jnp.float32)
-                + jnp.dot(h2, onehot, preferred_element_type=jnp.float32)
-                + jnp.dot(r2, onehot, preferred_element_type=jnp.float32))
+    from loops_tpu.ops.kernels.mxu_exact import exact_onehot_dot as exact_dot
 
     def kernel(s0_ref, prod_ref, keep_ref, ends_ref, rels_ref, mask_ref,
                y_ref):
