@@ -146,14 +146,24 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
                 v = v + jnp.where(in_range, pltpu.roll(v, d, 1) * kp, 0.0)
                 kp = jnp.where(in_range, kp * pltpu.roll(kp, d, 1), kp)
             # kp now = product of keep over lanes [0..l] (prefix gate)
-            # sublane carries: c[i] = (c[i-1] + total[i-1]) * rowkeep[i]
+            # sublane carries: c[i] = rk[i]*c[i-1] + rk[i]*t[i-1] — an
+            # affine recurrence, solved with a log-step parallel scan of
+            # (A, B) pairs under (A2,B2)o(A1,B1) = (A2*A1, A2*B1 + B2)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
             totals = v[:, LANES - 1: LANES]                    # [SUB, 1]
             rowkeep = kp[:, LANES - 1: LANES]
-            carries = [jnp.zeros((1, 1), jnp.float32)]
-            for i in range(1, SUB):
-                carries.append((carries[-1] + totals[i - 1: i, :])
-                               * rowkeep[i: i + 1, :])
-            carry = jnp.concatenate(carries, axis=0)           # [SUB, 1]
+            t_prev = jnp.where(sub >= 1, pltpu.roll(totals, 1, 0), 0.0)
+            A = rowkeep
+            Bv = rowkeep * t_prev
+            d = 1
+            while d < SUB:
+                gate = sub >= d
+                Bs = pltpu.roll(Bv, d, 0)
+                As = pltpu.roll(A, d, 0)
+                Bv = jnp.where(gate, A * Bs + Bv, Bv)
+                A = jnp.where(gate, A * As, A)
+                d *= 2
+            carry = Bv                                         # [SUB, 1]
             v = v + carry * kp  # gate: only lanes before first boundary
             flat = v.reshape(1, Kp)
 
