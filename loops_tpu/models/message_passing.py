@@ -18,8 +18,13 @@ from loops_tpu.ops.spmm import SpMMOperator
 
 
 def aggregate_operator(graph: Graph, op: str = "sum",
-                       schedule: str = "row_mapped", impl: str = "xla"):
-    """Build ``h -> aggregated`` for sum/mean aggregation (one SpMM)."""
+                       schedule: str = "group_mapped", impl: str = "xla"):
+    """Build ``h -> aggregated`` for sum/mean aggregation (one SpMM).
+
+    Default schedule is ``group_mapped`` (degree-class planes): measured
+    1.7x faster than the scatter path on power-law graphs at F=128
+    (docs/experimentation.md).
+    """
     if op == "sum":
         adj = graph.adj
     elif op == "mean":
