@@ -63,6 +63,13 @@ class SpMMOperator:
         import jax.numpy as jnp
 
         rows = self.rows
+        if schedule == "auto":
+            from loops_tpu.layout import CsrLayout
+            from loops_tpu.schedule.plans import choose_schedule
+            pick = choose_schedule(CsrLayout.from_csr(csr))
+            # merge_path SpMM lowers to the same gather-segment XLA path
+            schedule = self.schedule = (
+                "group_mapped" if pick == "group_mapped" else "row_mapped")
         if schedule == "group_mapped":
             plan = make_plan(CsrLayout.from_csr(csr), "group_mapped")
             bufs = dict(buckets=[

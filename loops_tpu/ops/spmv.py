@@ -70,9 +70,10 @@ class SpMVOperator:
                  block: int = 512, impl: str = "xla"):
         import jax
 
-        if schedule not in SCHEDULES:
+        if schedule not in SCHEDULES and schedule != "auto":
             raise ValueError(
-                f"unknown schedule {schedule!r}; expected one of {SCHEDULES}")
+                f"unknown schedule {schedule!r}; expected one of "
+                f"{SCHEDULES + ('auto',)}")
         self.mat = mat
         self.schedule = schedule
         self.impl = impl
@@ -93,6 +94,9 @@ class SpMVOperator:
 
         rows = self.rows
         layout = CsrLayout.from_csr(csr)
+        if schedule == "auto":
+            from loops_tpu.schedule.plans import choose_schedule
+            schedule = self.schedule = choose_schedule(layout)
 
         if schedule == "row_mapped":
             plan = make_plan(layout, schedule)
@@ -142,6 +146,8 @@ class SpMVOperator:
     def _build_coo(self, coo: COO, schedule, block, impl):
         import jax.numpy as jnp
 
+        if schedule == "auto":
+            schedule = self.schedule = "row_mapped"
         rows = self.rows
         sorted_rows = bool(np.all(np.diff(coo.rows) >= 0))
 
@@ -194,7 +200,7 @@ class SpMVOperator:
         rows = self.rows
         idx_plane, val_plane = ell.as_jax(pad_rows_to=1, pad_pitch_to=1)
 
-        if schedule in ("row_mapped", "group_mapped"):
+        if schedule in ("row_mapped", "group_mapped", "auto"):
             # The plane is already one uniform group: a dense masked
             # row-reduction (reference: spmv/ell_thread_mapped.cuh:28-76,
             # whose sentinel skips become multiply-by-zero).

@@ -195,7 +195,34 @@ class FlatBlockPlan:
                           a.astype(np.int64), K)
 
 
+def choose_schedule(layout: Layout) -> str:
+    """Heuristic schedule selection — the TPU analog of the reference's
+    best-of-3 oracle study (plots/data/heuristics.csv: the right
+    schedule per matrix beats any fixed one by ~2.7x geomean).
+
+    Measured TPU regimes (docs/experimentation.md):
+      * skewed degree distributions -> group_mapped (degree-class
+        planes avoid both scatter and worst-row padding)
+      * tiny/uniform tiles -> row_mapped (segmented reduction is
+        already balanced; no plan overhead)
+      * otherwise -> merge_path (bounded blocks, Pallas-friendly)
+    """
+    sizes = layout.tile_sizes()
+    if layout.num_tiles == 0 or layout.num_atoms == 0:
+        return "row_mapped"
+    mean = max(float(sizes.mean()), 1e-9)
+    mx = float(sizes.max())
+    cv = float(sizes.std()) / mean
+    if mx / mean > 8 or cv > 2.0:
+        return "group_mapped"
+    if mx <= 4:
+        return "row_mapped"
+    return "merge_path"
+
+
 def make_plan(layout: Layout, schedule: str, **kw):
+    if schedule == "auto":
+        schedule = choose_schedule(layout)
     if schedule == "row_mapped":
         return RowMappedPlan.from_layout(layout)
     if schedule in ("group_mapped", "bucketing"):

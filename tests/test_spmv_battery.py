@@ -126,3 +126,22 @@ def test_csr_f64_precision():
             np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_auto_schedule_selection():
+    from loops_tpu.layout import CsrLayout
+    from loops_tpu.schedule.plans import choose_schedule
+
+    skewed = generate.skewed_csr(20, 40, heavy_rows=1, heavy_nnz=30)
+    assert choose_schedule(CsrLayout.from_csr(skewed)) == "group_mapped"
+    uniform = generate.tridiag_csr(30)
+    assert choose_schedule(CsrLayout.from_csr(uniform)) == "row_mapped"
+    medium = generate.banded_csr(40, 40, band=8)
+    assert choose_schedule(CsrLayout.from_csr(medium)) == "merge_path"
+
+    # end-to-end through the operator
+    x = generate.make_input_vector(40)
+    y = spmv(skewed, x, schedule="auto")
+    _check(y, skewed, x, "auto/skewed")
+    y2 = spmv(skewed.to_coo(), x, schedule="auto")
+    _check(y2, skewed, x, "auto/coo")
