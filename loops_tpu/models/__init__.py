@@ -3,7 +3,7 @@ from loops_tpu.models.gat import GAT, init_gat  # noqa: F401
 from loops_tpu.models.gcn import GCN, init_gcn  # noqa: F401
 from loops_tpu.models.graph import Graph  # noqa: F401
 from loops_tpu.models.message_passing import aggregate_operator, edge_aggregate  # noqa: F401
-from loops_tpu.models.sage import GraphSAGE, init_sage  # noqa: F401
+from loops_tpu.models.sage import GraphSAGE, init_sage, make_sampled_train_step  # noqa: F401
 from loops_tpu.models.sampling import sample_neighbors, sampled_block  # noqa: F401
 from loops_tpu.models import train  # noqa: F401
 from loops_tpu.models import checkpoint  # noqa: F401

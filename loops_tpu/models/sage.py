@@ -86,3 +86,37 @@ class GraphSAGE:
                 new_reps.append(h)
             reps = new_reps
         return reps[0]
+
+
+def make_sampled_train_step(model: "GraphSAGE", optimizer, features,
+                            labels, fanouts, batch_size: int):
+    """Minibatch training step with neighbor sampling.
+
+    Returns ``step(params, opt_state, rng) -> (params, opt_state, rng,
+    loss)``; each call draws a fresh seed batch and fanout sample —
+    everything static-shape, so one compilation serves all steps.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from loops_tpu.models.train import cross_entropy
+
+    features = jnp.asarray(features)
+    labels = jnp.asarray(labels)
+    n = features.shape[0]
+
+    def loss_fn(params, seeds, key):
+        logits = model.apply_sampled(params, features, seeds, fanouts, key)
+        return cross_entropy(logits, labels[seeds])
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        rng, k_seed, k_sample = jax.random.split(rng, 3)
+        seeds = jax.random.randint(k_seed, (batch_size,), 0, n)
+        loss, grads = jax.value_and_grad(loss_fn)(params, seeds, k_sample)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss
+
+    return step

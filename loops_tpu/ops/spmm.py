@@ -64,7 +64,6 @@ class SpMMOperator:
 
         rows = self.rows
         if schedule == "auto":
-            from loops_tpu.layout import CsrLayout
             from loops_tpu.schedule.plans import choose_schedule
             pick = choose_schedule(CsrLayout.from_csr(csr))
             # merge_path SpMM lowers to the same gather-segment XLA path

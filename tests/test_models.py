@@ -212,3 +212,33 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(np.asarray(state["step"])) == 7
     np.testing.assert_allclose(np.asarray(state["params"][0]["w"]),
                                np.asarray(params[0]["w"]), rtol=1e-6)
+
+
+def test_sampled_minibatch_training_descends():
+    import jax
+    import optax
+
+    from loops_tpu.models import GraphSAGE
+    from loops_tpu.models.sage import make_sampled_train_step
+
+    g = _toy_graph(40, seed=13)
+    rng = np.random.default_rng(6)
+    feats = rng.normal(size=(40, 6)).astype(np.float32)
+    # labels correlated with features so sampling can learn
+    w_true = rng.normal(size=(6, 3))
+    labels = (feats @ w_true).argmax(1).astype(np.int32)
+
+    model = GraphSAGE(g, [6, 12, 3])
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    step = make_sampled_train_step(model, opt, feats, labels,
+                                   fanouts=[4, 4], batch_size=16)
+    st = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(120):
+        params, st, key, loss = step(params, st, key)
+        losses.append(float(loss))
+    first = np.mean(losses[:10])
+    last = np.mean(losses[-10:])
+    assert last < first * 0.9, (first, last)
