@@ -51,8 +51,9 @@ def _parse_banner(line: bytes):
     return field, sym
 
 
-def _parse_body_fast(body: bytes, nnz: int, has_values: bool):
-    """Parse whitespace-separated records. Returns (r, c, v) 0-indexed."""
+def _parse_body_fast(body, nnz: int, has_values: bool):
+    """Parse whitespace-separated records (bytes or zero-copy
+    memoryview). Returns (r, c, v) 0-indexed."""
     ncols = 3 if has_values else 2
     arr = None
     try:
@@ -61,13 +62,14 @@ def _parse_body_fast(body: bytes, nnz: int, has_values: bool):
     except Exception:
         arr = None
     if arr is None:
+        data = body.tobytes() if isinstance(body, memoryview) else body
         try:
             import pandas as pd
-            df = pd.read_csv(_io.BytesIO(body), sep=r"\s+", header=None,
+            df = pd.read_csv(_io.BytesIO(data), sep=r"\s+", header=None,
                              nrows=nnz, dtype=np.float64, engine="c")
             arr = df.to_numpy()
         except Exception:
-            flat = np.array(body.split(), dtype=np.float64)
+            flat = np.array(data.split(), dtype=np.float64)
             per = flat.size // nnz if nnz else ncols
             arr = flat[: nnz * per].reshape(nnz, per)
     if arr.shape[0] != nnz:
@@ -93,9 +95,21 @@ def load(path_or_bytes, dtype=np.float32) -> COO:
     dims -> overflow guard -> symmetric off-diagonal count (pass 1) ->
     exact preallocation -> body parse + mirror (pass 2).
     """
+    mm = None
     if isinstance(path_or_bytes, (str, os.PathLike)):
-        with open(path_or_bytes, "rb") as f:
+        # mmap the file (the reference's mapped_file_t,
+        # detail/mapped_file.hxx:78-192): the body slice below is then a
+        # zero-copy view for the native tokenizer.
+        import mmap
+
+        f = open(path_or_bytes, "rb")
+        try:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            data = mm
+        except ValueError:  # empty file
             data = f.read()
+        finally:
+            f.close()
     else:
         data = bytes(path_or_bytes)
 
@@ -123,9 +137,13 @@ def load(path_or_bytes, dtype=np.float32) -> COO:
         raise OverflowError(
             f"dimensions {rows}x{cols} exceed int32 index range "
             "(reference parity: market.hxx:143-149)")
-    body = data[eol + 1:]
+    body = (memoryview(data)[eol + 1:] if mm is not None
+            else data[eol + 1:])
 
     r, c, v = _parse_body_fast(body, nnz, has_values=(field != "pattern"))
+    if mm is not None:
+        del body
+        mm.close()
     if nnz and (r.max(initial=0) >= rows or c.max(initial=0) >= cols):
         raise MatrixMarketError("coordinate out of declared bounds")
 

@@ -24,14 +24,16 @@ def _fn():
     return fn
 
 
-def mtx_parse(body: bytes, nnz: int, ncols: int):
-    """Parse nnz x ncols numeric records; returns float64 [nnz, ncols]
-    or None if the native library is unavailable/parse fails."""
+def mtx_parse(body, nnz: int, ncols: int):
+    """Parse nnz x ncols numeric records from bytes or a zero-copy
+    memoryview (mmap'd file); returns float64 [nnz, ncols] or None if
+    the native library is unavailable/parse fails."""
     fn = _fn()
     if fn is None:
         return None
+    buf = np.frombuffer(body, dtype=np.uint8)  # zero-copy for memoryview
     out = np.empty((nnz, ncols), dtype=np.float64)
-    got = fn(body, len(body), nnz, ncols,
+    got = fn(buf.ctypes.data_as(ctypes.c_char_p), len(buf), nnz, ncols,
              out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     if got != nnz:
         return None
