@@ -134,7 +134,16 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
         def _():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        def shift_lanes(a, d, fill):
+            # move element l to l+d, filling the first d lanes — a
+            # pad+slice (unambiguous direction, unlike roll semantics
+            # which differ between interpret and Mosaic)
+            return jnp.pad(a, ((0, 0), (d, 0)),
+                           constant_values=fill)[:, :LANES]
+
+        def shift_subs(a, d, fill):
+            return jnp.pad(a, ((d, 0), (0, 0)),
+                           constant_values=fill)[:SUB, :]
 
         def body(j, _):
             v = prod_ref[j, :].reshape(SUB, LANES)
@@ -142,26 +151,20 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
             # segmented inclusive scan along lanes: carries cross only
             # where keep==1 (keep[i]=0 marks a segment start at i)
             for d in (1, 2, 4, 8, 16, 32, 64):
-                in_range = lane >= d
-                v = v + jnp.where(in_range, pltpu.roll(v, d, 1) * kp, 0.0)
-                kp = jnp.where(in_range, kp * pltpu.roll(kp, d, 1), kp)
+                v = v + shift_lanes(v, d, 0.0) * kp
+                kp = kp * shift_lanes(kp, d, 1.0)
             # kp now = product of keep over lanes [0..l] (prefix gate)
             # sublane carries: c[i] = rk[i]*c[i-1] + rk[i]*t[i-1] — an
             # affine recurrence, solved with a log-step parallel scan of
             # (A, B) pairs under (A2,B2)o(A1,B1) = (A2*A1, A2*B1 + B2)
-            sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
             totals = v[:, LANES - 1: LANES]                    # [SUB, 1]
             rowkeep = kp[:, LANES - 1: LANES]
-            t_prev = jnp.where(sub >= 1, pltpu.roll(totals, 1, 0), 0.0)
             A = rowkeep
-            Bv = rowkeep * t_prev
+            Bv = rowkeep * shift_subs(totals, 1, 0.0)
             d = 1
             while d < SUB:
-                gate = sub >= d
-                Bs = pltpu.roll(Bv, d, 0)
-                As = pltpu.roll(A, d, 0)
-                Bv = jnp.where(gate, A * Bs + Bv, Bv)
-                A = jnp.where(gate, A * As, A)
+                Bv = A * shift_subs(Bv, d, 0.0) + Bv
+                A = A * shift_subs(A, d, 1.0)
                 d *= 2
             carry = Bv                                         # [SUB, 1]
             v = v + carry * kp  # gate: only lanes before first boundary
