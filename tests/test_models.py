@@ -242,3 +242,43 @@ def test_sampled_minibatch_training_descends():
     first = np.mean(losses[:10])
     last = np.mean(losses[-10:])
     assert last < first * 0.9, (first, last)
+
+
+def test_aggregation_custom_vjp_matches_dense_grad():
+    import jax
+    import jax.numpy as jnp
+
+    g = _toy_graph(14, seed=15)
+    op = aggregate_operator(g, "gcn")           # custom vjp on
+    dense = jnp.asarray(g.gcn_normalized().adj.to_dense())
+    X = jnp.asarray(
+        np.random.default_rng(3).normal(size=(14, 5)).astype(np.float32))
+    W = jnp.asarray(
+        np.random.default_rng(4).normal(size=(5, 4)).astype(np.float32))
+
+    def loss_sparse(X):
+        return (op._fn(X @ W) ** 2).sum()
+
+    def loss_dense(X):
+        return ((dense @ (X @ W)) ** 2).sum()
+
+    np.testing.assert_allclose(float(loss_sparse(X)), float(loss_dense(X)),
+                               rtol=1e-4)
+    gs = np.asarray(jax.grad(loss_sparse)(X))
+    gd = np.asarray(jax.grad(loss_dense)(X))
+    np.testing.assert_allclose(gs, gd, rtol=1e-3, atol=1e-4)
+
+
+def test_aggregation_custom_vjp_mean_asymmetric():
+    import jax
+    import jax.numpy as jnp
+
+    # mean normalization is NOT symmetric -> exercises the A^T plan
+    g = _toy_graph(12, seed=16)
+    op = aggregate_operator(g, "mean")
+    dense = jnp.asarray(g.mean_normalized().adj.to_dense())
+    X = jnp.asarray(
+        np.random.default_rng(5).normal(size=(12, 3)).astype(np.float32))
+    gs = np.asarray(jax.grad(lambda X: (op._fn(X) ** 3).sum())(X))
+    gd = np.asarray(jax.grad(lambda X: ((dense @ X) ** 3).sum())(X))
+    np.testing.assert_allclose(gs, gd, rtol=1e-3, atol=1e-4)
