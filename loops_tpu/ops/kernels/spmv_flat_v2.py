@@ -22,6 +22,13 @@ Plan staging mirrors the reference's preprocess_t coordinate
 materialization (reference: schedule/merge_path_flat.hxx:99-172) with
 per-block row-end positions, aligned output slots, and the carry-keep
 mask.
+
+STATUS: correct in interpret mode (full test coverage); the compiled
+Mosaic path currently trips "result/input offset mismatch on non-concat
+dimension" lowering the narrow [SUB, 1] sublane-shift ops of the carry
+scan (tpu.concatenate of (1,1)+(8,1)). Until the scan is restructured
+onto full (8,128) registers, use impl="pallas" (the v1 one-hot kernel,
+TPU-validated at 1.9x over XLA) on hardware.
 """
 from __future__ import annotations
 
@@ -156,9 +163,13 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
             # kp now = product of keep over lanes [0..l] (prefix gate)
             # sublane carries: c[i] = rk[i]*c[i-1] + rk[i]*t[i-1] — an
             # affine recurrence, solved with a log-step parallel scan of
-            # (A, B) pairs under (A2,B2)o(A1,B1) = (A2*A1, A2*B1 + B2)
-            totals = v[:, LANES - 1: LANES]                    # [SUB, 1]
-            rowkeep = kp[:, LANES - 1: LANES]
+            # (A, B) pairs under (A2,B2)o(A1,B1) = (A2*A1, A2*B1 + B2).
+            # All operands stay full (SUB, LANES) registers (lane
+            # broadcast): Mosaic cannot shift narrow (SUB, 1) vectors.
+            totals = jnp.broadcast_to(v[:, LANES - 1: LANES],
+                                      (SUB, LANES))
+            rowkeep = jnp.broadcast_to(kp[:, LANES - 1: LANES],
+                                       (SUB, LANES))
             A = rowkeep
             Bv = rowkeep * shift_subs(totals, 1, 0.0)
             d = 1
@@ -166,7 +177,7 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
                 Bv = A * shift_subs(Bv, d, 0.0) + Bv
                 A = A * shift_subs(A, d, 1.0)
                 d *= 2
-            carry = Bv                                         # [SUB, 1]
+            carry = Bv                               # [SUB, LANES], col-const
             v = v + carry * kp  # gate: only lanes before first boundary
             flat = v.reshape(1, Kp)
 
