@@ -168,9 +168,9 @@ def _op_cache(mat) -> dict:
 
 
 def spmm(mat, B, schedule: str = "row_mapped", impl: str = "xla",
-         block_f: int = 512):
-    key = (schedule, impl, block_f)
+         block_f: int = 512, dtype=None):
+    key = (schedule, impl, block_f, str(dtype))
     cache = _op_cache(mat)
     if key not in cache:
-        cache[key] = SpMMOperator(mat, schedule, impl, block_f)
+        cache[key] = SpMMOperator(mat, schedule, impl, block_f, dtype)
     return cache[key](B)
