@@ -40,7 +40,8 @@ class SpMMOperator:
     """Compiled SpMM bound to one sparse matrix: ``op(B) -> C``."""
 
     def __init__(self, mat, schedule: str = "row_mapped",
-                 impl: str = "xla", block_f: int = 512, dtype=None):
+                 impl: str = "xla", block_f: int = 512, dtype=None,
+                 hub_dense_min: int | None = None):
         import jax
 
         self.mat = mat
@@ -49,6 +50,7 @@ class SpMMOperator:
         self.impl = impl
         self.block_f = block_f
         self.dtype = dtype
+        self.hub_dense_min = hub_dense_min
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
         self._bufs, fn = builder(mat, schedule, impl)
         self._jit = jax.jit(fn)
@@ -71,18 +73,47 @@ class SpMMOperator:
                 "group_mapped" if pick == "group_mapped" else "row_mapped")
         if schedule == "group_mapped":
             plan = make_plan(CsrLayout.from_csr(csr), "group_mapped")
+            # Hub-dense hybrid: rows denser than ~1/16 of the columns
+            # gather a large fraction of B *randomly*; materializing them
+            # as dense rows turns that into one streamed MXU matmul
+            # (B is read contiguously and reused across all hubs).
+            hub_min = (self.hub_dense_min if self.hub_dense_min is not None
+                       else max(self.cols // 16, 1024))
+            hub_tiles, plane_buckets = [], []
+            budget = 64 << 20  # cap dense payload at 64M elements
+            for b in plan.buckets:
+                pitch = b["atom_slots"].shape[1]
+                h = len(b["tiles"])
+                if (pitch >= hub_min
+                        and (len(hub_tiles) + h) * self.cols <= budget):
+                    hub_tiles.extend(b["tiles"].tolist())
+                else:
+                    plane_buckets.append(b)
             bufs = dict(buckets=[
                 (jnp.asarray(b["tiles"]),
                  jnp.asarray(csr.indices[b["atom_slots"]]),
                  jnp.asarray(np.where(b["valid"],
                                       csr.vals[b["atom_slots"]], 0)))
-                for b in plan.buckets])
+                for b in plane_buckets])
+            if hub_tiles:
+                hub_tiles = np.asarray(hub_tiles, dtype=np.int64)
+                dense = np.zeros((len(hub_tiles), self.cols), np.float32)
+                for i, t in enumerate(hub_tiles):
+                    a0, a1 = csr.offsets[t], csr.offsets[t + 1]
+                    dense[i, csr.indices[a0:a1]] = csr.vals[a0:a1]
+                bufs["hub_tiles"] = jnp.asarray(
+                    hub_tiles.astype(np.int32))
+                bufs["hub_rows"] = jnp.asarray(dense)
 
             def fn(b, B):
                 C = jnp.zeros((rows, B.shape[1]), B.dtype)
                 for tiles, idx, v in b["buckets"]:
                     C = C.at[tiles].add(
                         (v[..., None] * B[idx]).sum(axis=1))
+                if "hub_rows" in b:
+                    hub_out = jnp.dot(b["hub_rows"], B,
+                                      preferred_element_type=jnp.float32)
+                    C = C.at[b["hub_tiles"]].add(hub_out.astype(C.dtype))
                 return C
             return bufs, fn
 

@@ -147,3 +147,16 @@ def test_spmm_csr_bf16_gather():
     ref = reference.spmm(csr, B)
     rel = np.abs(C - ref).max() / max(np.abs(ref).max(), 1e-9)
     assert rel < 5e-2, rel
+
+
+def test_spmm_group_mapped_hub_dense():
+    from loops_tpu.ops.spmm import SpMMOperator
+
+    # one extreme hub row + light tail: force the hub-dense split
+    csr = generate.skewed_csr(30, 40, heavy_rows=2, heavy_nnz=35,
+                              light_nnz=2, seed=21)
+    B = _B(csr.shape[1], 12)
+    op = SpMMOperator(csr, "group_mapped", hub_dense_min=16)
+    assert "hub_rows" in op._bufs          # the split actually fired
+    C = np.asarray(op(B))
+    assert count_mismatches(C, reference.spmm(csr, B), 1e-3, 1e-4) == 0
