@@ -23,12 +23,15 @@ materialization (reference: schedule/merge_path_flat.hxx:99-172) with
 per-block row-end positions, aligned output slots, and the carry-keep
 mask.
 
-STATUS: correct in interpret mode (full test coverage); the compiled
-Mosaic path currently trips "result/input offset mismatch on non-concat
-dimension" lowering the narrow [SUB, 1] sublane-shift ops of the carry
-scan (tpu.concatenate of (1,1)+(8,1)). Until the scan is restructured
-onto full (8,128) registers, use impl="pallas" (the v1 one-hot kernel,
-TPU-validated at 1.9x over XLA) on hardware.
+STATUS — EXPERIMENTAL: correct in interpret mode (full test coverage),
+but the compiled Mosaic path produces wrong values (identical maxerr
+across two different shift implementations, so the divergence is not
+the shift direction; prime suspect is the dynamic ``prod_ref[j, :]``
+row read + (SUB, LANES) reshape inside the fori group loop). On
+hardware use impl="pallas" — the v1 one-hot kernel, TPU-validated
+Wilkinson-clean at 1.9x over the XLA scatter path. Next step (round 2):
+vectorize the scan across the whole (GROUP*SUB, LANES) block to remove
+the dynamic row read.
 """
 from __future__ import annotations
 
