@@ -68,3 +68,14 @@ def test_train_gcn_tiny():
              "5", "--hidden", "16"], timeout=420)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "test_accuracy:" in r.stdout
+
+
+def test_dist_train_example():
+    env = dict(os.environ, LOOPS_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "examples/dist_train.py", "--epochs", "6",
+         "--hidden", "16"],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "test_accuracy:" in r.stdout
