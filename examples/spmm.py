@@ -48,10 +48,11 @@ def main(argv=None):
 
     rng = np.random.default_rng(1)
     B = rng.normal(size=(csr.shape[1], args.feature_dim)).astype(np.float32)
-    C = np.asarray(spmm(mat, B, schedule=args.schedule, impl=args.impl))
+    from loops_tpu.ops.spmm import SpMMOperator
+    op = SpMMOperator(mat, schedule=args.schedule, impl=args.impl)
+    C = np.asarray(op(B))
 
     import jax.numpy as jnp
-    op = _op_cache(mat)[(args.schedule, args.impl, 512)]
     elapsed = chained_ms_pair(op._fn, jnp.asarray(B), iters=5)
     gflops = 2 * csr.nnz * args.feature_dim / (elapsed * 1e-3) / 1e9
 
