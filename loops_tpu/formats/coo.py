@@ -7,7 +7,7 @@ thrust zip-iterator sorts.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from loops_tpu.formats.base import INDEX_DTYPE
-
 LANES = 128
 
 

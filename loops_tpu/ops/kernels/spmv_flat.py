@@ -27,8 +27,6 @@ Per block b:
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from loops_tpu.formats.base import INDEX_DTYPE

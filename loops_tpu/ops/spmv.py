@@ -38,14 +38,10 @@ import numpy as np
 
 from loops_tpu.formats import BCSR, COO, CSC, CSR, DIA, ELL
 from loops_tpu.layout import (
-    BcsrLayout,
     CooLayout,
     CsrLayout,
-    CscLayout,
-    DiaLayout,
     EllLayout,
     FlatRebinLayout,
-    UniformLayout,
 )
 from loops_tpu.schedule.plans import SCHEDULES, make_plan
 

@@ -15,8 +15,6 @@ the box.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 from loops_tpu.parallel.graph_partition import EdgePartition
