@@ -5,33 +5,27 @@ The v1 kernel (spmv_flat.py) reduces each merge-path block with one big
 R. v2 exploits that segments are *sorted within a block*: an in-block
 **segmented inclusive scan** (boundary-reset prefix sum — pure VPU,
 per-row f32 summation so the Wilkinson bound holds row-wise) leaves
-every row's total at its last atom position, so the MXU work shrinks to
-two small one-hot extractions:
+every row's total at its last atom position; two small extractions then
+move the row totals to their output slots.
 
-  1. segscan over the K products      (VPU roll-add scan with carry
-                                       kill at row boundaries)
-  2. sums    = segscan @ onehot[K, S] (S = max present rows per block)
-  3. partial = sums @ onehot[S, R]    (scatter to 128-aligned slots)
-  4. y[base : base+R] += partial      (sequential grid, no races)
+Mosaic-compatibility design rules learned the hard way (earlier
+revisions diverged between interpret and compiled modes):
 
-One-hot operands are 0/1, so extraction exactness only needs the scanned
-values split into bf16 terms: a 3-way split (hi/mid/lo) reconstructs the
-f32 value through default-precision MXU dots bit-exactly.
+  * no in-kernel reshapes: products/keep are staged host-side in the
+    exact (B*SUB, LANES) register layout the scan uses; per-block views
+    are *static* sublane slices inside a python-unrolled group loop;
+  * no narrow (SUB, 1) vectors: carries ride full (.., LANES) registers
+    via lane broadcast;
+  * shifts are pad+slice (direction-unambiguous) on full registers;
+  * row-end extraction avoids flattening with a two-sided one-hot
+    contraction: M = scan^T_contract su  -> [LANES, S]; row totals =
+    sum_l M[l, s] * sl[l, s] — the (sub, lane) end position split into
+    a sublane one-hot ``su`` and a lane one-hot ``sl``;
+  * every value passing through an MXU dot uses the 3-way bf16 split
+    (ops/kernels/mxu_exact.py) so f32 totals survive exactly.
 
-Plan staging mirrors the reference's preprocess_t coordinate
-materialization (reference: schedule/merge_path_flat.hxx:99-172) with
-per-block row-end positions, aligned output slots, and the carry-keep
-mask.
-
-STATUS — EXPERIMENTAL: correct in interpret mode (full test coverage),
-but the compiled Mosaic path produces wrong values (identical maxerr
-across two different shift implementations, so the divergence is not
-the shift direction; prime suspect is the dynamic ``prod_ref[j, :]``
-row read + (SUB, LANES) reshape inside the fori group loop). On
-hardware use impl="pallas" — the v1 one-hot kernel, TPU-validated
-Wilkinson-clean at 1.9x over the XLA scatter path. Next step (round 2):
-vectorize the scan across the whole (GROUP*SUB, LANES) block to remove
-the dynamic row read.
+Per block: scan (VPU ~20 ops) + contraction [8,128]x[8,S] + scatter
+[1,S]x[S,R] — cost ~ K + S*LANES + S*R versus v1's K*R.
 """
 from __future__ import annotations
 
@@ -49,9 +43,11 @@ def _round_up(x: int, m: int) -> int:
 def _stage_extraction(plan):
     """Per-block present-row boundaries and carry-keep mask.
 
-    Returns (end_pos [B, S], rel_row [B, S], keep [B, K], s0 [B], R, S).
-    Padded extraction slots point at a guaranteed-zero scan position
-    (their own padding atom), writing slot 0 with value 0.
+    Returns (end_arr [B, S], rel_arr [B, S], mask [B, S], keep [B, K],
+    s0 [B], R, S): present row s of block b has its last atom at
+    in-block position end_arr[b, s] and writes the 128-aligned relative
+    slot rel_arr[b, s]; mask zeroes padded slots; keep[k]=0 marks atoms
+    that start a new segment.
     """
     B, K = plan.atom_gather.shape
     r0 = plan.tile_starts[:-1].astype(np.int64)
@@ -75,7 +71,7 @@ def _stage_extraction(plan):
         ends.append(end_pos)
         rels.append(rel[end_pos])
         max_s = max(max_s, len(end_pos))
-    S = _round_up(max_s, LANES)  # matmul N dim -> lane multiple
+    S = _round_up(max_s, LANES)
     end_arr = np.zeros((B, S), INDEX_DTYPE)
     rel_arr = np.zeros((B, S), INDEX_DTYPE)
     mask_arr = np.zeros((B, S), np.float32)
@@ -96,20 +92,25 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from loops_tpu.ops.kernels.mxu_exact import exact_onehot_dot
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     rows = csr.shape[0]
     K = plan.block_atoms
     Kp = _round_up(K, LANES)
-    GROUP = 8
-    B = _round_up(plan.num_blocks, GROUP)
     SUB = Kp // LANES
+    GROUP = 8 // min(SUB, 8) if SUB < 8 else 1
+    GROUP = max(GROUP, 1)
+    # rows-per-grid-step must be sublane-divisible: GROUP*SUB >= 8
+    while GROUP * SUB % 8:
+        GROUP *= 2
+    B = _round_up(plan.num_blocks, GROUP)
 
     end_arr, rel_arr, mask_arr, keep_arr, s0, R, S = _stage_extraction(plan)
     if R > 4096:
         raise ValueError(f"block row span {R} too large; use merge_path")
-    Spad = S
     Sy = _round_up(rows, LANES) // LANES + R // LANES
 
     def pad_b(a, fill=0):
@@ -117,27 +118,28 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
         out[: len(a)] = a
         return out
 
-    def pad_k(a, fill=0):
-        out = np.full((len(a), Kp), fill, dtype=a.dtype)
-        out[:, :K] = a
-        return out
+    def to_regs(a, fill=0):
+        """[B, K] -> [B*SUB, LANES] in the kernel's register layout."""
+        out = np.full((B, Kp), fill, dtype=a.dtype)
+        out[: len(a), :K] = a
+        return out.reshape(B * SUB, LANES)
 
     bufs = dict(
-        vals=jnp.asarray(pad_b(pad_k(
-            np.where(plan.valid, csr.vals[plan.atom_gather], 0)))),
-        cols=jnp.asarray(pad_b(pad_k(csr.indices[plan.atom_gather]))),
-        keep=jnp.asarray(pad_b(pad_k(keep_arr, fill=1.0))),
-        ends=jnp.asarray(pad_b(end_arr)),
+        vals=jnp.asarray(to_regs(
+            np.where(plan.valid, csr.vals[plan.atom_gather], 0))),
+        cols=jnp.asarray(to_regs(csr.indices[plan.atom_gather])),
+        keep=jnp.asarray(to_regs(keep_arr, fill=1.0)),
+        end_sub=jnp.asarray(pad_b(end_arr // LANES)),
+        end_lane=jnp.asarray(pad_b(end_arr % LANES)),
         rels=jnp.asarray(pad_b(rel_arr)),
         mask=jnp.asarray(pad_b(mask_arr)),
         s0=jnp.asarray(pad_b(s0)),
     )
     sub_rows = R // LANES
+    GS = GROUP * SUB
 
-    from loops_tpu.ops.kernels.mxu_exact import exact_onehot_dot as exact_dot
-
-    def kernel(s0_ref, prod_ref, keep_ref, ends_ref, rels_ref, mask_ref,
-               y_ref):
+    def kernel(s0_ref, prod_ref, keep_ref, esub_ref, elane_ref, rels_ref,
+               mask_ref, y_ref):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -145,71 +147,76 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
             y_ref[:] = jnp.zeros_like(y_ref)
 
         def shift_lanes(a, d, fill):
-            # move element l to l+d, filling the first d lanes — a
-            # pad+slice (unambiguous direction, unlike roll semantics
-            # which differ between interpret and Mosaic)
             return jnp.pad(a, ((0, 0), (d, 0)),
                            constant_values=fill)[:, :LANES]
 
         def shift_subs(a, d, fill):
             return jnp.pad(a, ((d, 0), (0, 0)),
-                           constant_values=fill)[:SUB, :]
+                           constant_values=fill)[:GS, :]
 
-        def body(j, _):
-            v = prod_ref[j, :].reshape(SUB, LANES)
-            kp = keep_ref[j, :].reshape(SUB, LANES)
-            # segmented inclusive scan along lanes: carries cross only
-            # where keep==1 (keep[i]=0 marks a segment start at i)
-            for d in (1, 2, 4, 8, 16, 32, 64):
-                v = v + shift_lanes(v, d, 0.0) * kp
-                kp = kp * shift_lanes(kp, d, 1.0)
-            # kp now = product of keep over lanes [0..l] (prefix gate)
-            # sublane carries: c[i] = rk[i]*c[i-1] + rk[i]*t[i-1] — an
-            # affine recurrence, solved with a log-step parallel scan of
-            # (A, B) pairs under (A2,B2)o(A1,B1) = (A2*A1, A2*B1 + B2).
-            # All operands stay full (SUB, LANES) registers (lane
-            # broadcast): Mosaic cannot shift narrow (SUB, 1) vectors.
-            totals = jnp.broadcast_to(v[:, LANES - 1: LANES],
-                                      (SUB, LANES))
-            rowkeep = jnp.broadcast_to(kp[:, LANES - 1: LANES],
-                                       (SUB, LANES))
-            A = rowkeep
-            Bv = rowkeep * shift_subs(totals, 1, 0.0)
-            d = 1
-            while d < SUB:
-                Bv = A * shift_subs(Bv, d, 0.0) + Bv
-                A = A * shift_subs(A, d, 1.0)
-                d *= 2
-            carry = Bv                               # [SUB, LANES], col-const
-            v = v + carry * kp  # gate: only lanes before first boundary
-            flat = v.reshape(1, Kp)
+        v = prod_ref[:]                              # [GS, LANES]
+        kp = keep_ref[:]
+        # segmented inclusive scan along lanes (carry crosses keep==1)
+        for d in (1, 2, 4, 8, 16, 32, 64):
+            v = v + shift_lanes(v, d, 0.0) * kp
+            kp = kp * shift_lanes(kp, d, 1.0)
+        # sublane carries within each block's SUB rows:
+        # c[u] = rk[u]*c[u-1] + rk[u]*t[u-1]  (affine parallel scan),
+        # gated so carries never cross block boundaries
+        sub_in_block = (jax.lax.broadcasted_iota(jnp.int32, (GS, LANES), 0)
+                        % SUB)
+        totals = jnp.broadcast_to(v[:, LANES - 1: LANES], (GS, LANES))
+        rowkeep = jnp.broadcast_to(kp[:, LANES - 1: LANES], (GS, LANES))
+        A = jnp.where(sub_in_block >= 1, rowkeep, 0.0)
+        Bv = A * shift_subs(totals, 1, 0.0)
+        d = 1
+        while d < SUB:
+            As = shift_subs(A, d, 0.0)
+            Bv = A * shift_subs(Bv, d, 0.0) + Bv
+            A = A * As
+            d *= 2
+        v = v + Bv * kp
 
-            # extraction 1: row totals at row-end positions
-            iota_k = jax.lax.broadcasted_iota(jnp.int32, (Kp, Spad), 0)
-            oh_e = (iota_k == ends_ref[j, :].reshape(1, Spad)
-                    ).astype(jnp.float32)
-            sums = exact_dot(flat, oh_e) * mask_ref[j, :].reshape(1, Spad)
-
-            # extraction 2: scatter row sums to aligned slots
-            oh_r = (jax.lax.broadcasted_iota(jnp.int32, (Spad, R), 1)
-                    == rels_ref[j, :].reshape(Spad, 1)).astype(jnp.float32)
-            partial = exact_dot(sums, oh_r)                    # [1, R]
+        # per-block extraction (static unroll; no reshapes)
+        lane_iota_S = jax.lax.broadcasted_iota(jnp.int32, (LANES, S), 0)
+        sub_iota_S = jax.lax.broadcasted_iota(jnp.int32, (SUB, S), 0)
+        for j in range(GROUP):
+            scan_j = v[j * SUB:(j + 1) * SUB, :]     # [SUB, LANES] static
+            su = (sub_iota_S == esub_ref[j, :].reshape(1, S)
+                  ).astype(jnp.float32)              # [SUB, S]
+            sl = (lane_iota_S == elane_ref[j, :].reshape(1, S)
+                  ).astype(jnp.float32)              # [LANES, S]
+            # M[l, s] = sum_u scan[u, l] * su[u, s]  (3-split exact)
+            h1 = scan_j.astype(jnp.bfloat16).astype(jnp.float32)
+            r1 = scan_j - h1
+            h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+            r2 = r1 - h2
+            dims = (((0,), (0,)), ((), ()))
+            M = (jax.lax.dot_general(h1, su, dims,
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(h2, su, dims,
+                                       preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(r2, su, dims,
+                                       preferred_element_type=jnp.float32))
+            sums = (M * sl).sum(axis=0, keepdims=True)  # [1, S] exact VPU
+            sums = sums * mask_ref[j, :].reshape(1, S)
+            oh_r = (jax.lax.broadcasted_iota(jnp.int32, (S, R), 1)
+                    == rels_ref[j, :].reshape(S, 1)).astype(jnp.float32)
+            partial = exact_onehot_dot(sums, oh_r)      # [1, R]
             base = s0_ref[g * GROUP + j]
             y_ref[pl.ds(base, sub_rows), :] += partial.reshape(
                 sub_rows, LANES)
-            return 0
-
-        jax.lax.fori_loop(0, GROUP, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // GROUP,),
         in_specs=[
-            pl.BlockSpec((GROUP, Kp), lambda g, s0: (g, 0)),
-            pl.BlockSpec((GROUP, Kp), lambda g, s0: (g, 0)),
-            pl.BlockSpec((GROUP, Spad), lambda g, s0: (g, 0)),
-            pl.BlockSpec((GROUP, Spad), lambda g, s0: (g, 0)),
-            pl.BlockSpec((GROUP, Spad), lambda g, s0: (g, 0)),
+            pl.BlockSpec((GS, LANES), lambda g, s0: (g, 0)),
+            pl.BlockSpec((GS, LANES), lambda g, s0: (g, 0)),
+            pl.BlockSpec((GROUP, S), lambda g, s0: (g, 0)),
+            pl.BlockSpec((GROUP, S), lambda g, s0: (g, 0)),
+            pl.BlockSpec((GROUP, S), lambda g, s0: (g, 0)),
+            pl.BlockSpec((GROUP, S), lambda g, s0: (g, 0)),
         ],
         out_specs=pl.BlockSpec((Sy, LANES), lambda g, s0: (0, 0)),
     )
@@ -222,7 +229,7 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
 
     def fn(b, x):
         products = b["vals"] * x[b["cols"]]
-        y2d = call(b["s0"], products, b["keep"], b["ends"], b["rels"],
-                   b["mask"])
+        y2d = call(b["s0"], products, b["keep"], b["end_sub"],
+                   b["end_lane"], b["rels"], b["mask"])
         return y2d.reshape(-1)[:rows]
     return bufs, fn
