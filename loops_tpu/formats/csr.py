@@ -99,6 +99,18 @@ class CSR:
         out[self.row_ids(), self.indices] = self.vals
         return out
 
+    @classmethod
+    def from_scipy(cls, sp) -> "CSR":
+        """From a scipy.sparse matrix (any format; converted to csr)."""
+        sp = sp.tocsr()
+        return cls(sp.shape, sp.indptr, sp.indices, sp.data)
+
+    def to_scipy(self):
+        """To scipy.sparse.csr_matrix (requires scipy)."""
+        from scipy.sparse import csr_matrix
+        return csr_matrix((self.vals, self.indices, self.offsets),
+                          shape=self.shape)
+
     def as_jax(self):
         """Stage the three arrays onto the default JAX device."""
         import jax.numpy as jnp

@@ -129,3 +129,15 @@ def test_vs_scipy_random():
     np.testing.assert_array_equal(csr.offsets, sp.indptr)
     np.testing.assert_array_equal(csr.indices, sp.indices)
     np.testing.assert_allclose(csr.vals, sp.data)
+
+
+def test_scipy_interop_round_trip():
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    csr = generate.random_csr(15, 12, 0.25, seed=17)
+    sp = csr.to_scipy()
+    back = CSR.from_scipy(sp)
+    np.testing.assert_allclose(back.to_dense(), csr.to_dense())
+    coo = scipy_sparse.random(10, 8, density=0.3, format="coo",
+                              random_state=3)
+    ours = CSR.from_scipy(coo)
+    np.testing.assert_allclose(ours.to_dense(), coo.toarray(), rtol=1e-6)
