@@ -101,11 +101,9 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
     K = plan.block_atoms
     Kp = _round_up(K, LANES)
     SUB = Kp // LANES
-    GROUP = 8 // min(SUB, 8) if SUB < 8 else 1
-    GROUP = max(GROUP, 1)
-    # rows-per-grid-step must be sublane-divisible: GROUP*SUB >= 8
-    while GROUP * SUB % 8:
-        GROUP *= 2
+    # 8 blocks per grid step: keeps every aux block spec (GROUP, S)
+    # sublane-divisible and the register block (GROUP*SUB, LANES) too
+    GROUP = 8
     B = _round_up(plan.num_blocks, GROUP)
 
     end_arr, rel_arr, mask_arr, keep_arr, s0, R, S = _stage_extraction(plan)
