@@ -132,3 +132,42 @@ def rigorously_validate_spmv(csr, x, y_kernel,
         max_abs_error=float(err_kernel.max(initial=0.0)),
         max_rel_error=float((err_kernel / denom).max(initial=0.0)),
     )
+
+
+def rigorously_validate_spmm(csr, B, C_kernel,
+                             k: float = DEFAULT_WILKINSON_K,
+                             atol_floor: float = DEFAULT_ATOL_FLOOR,
+                             mxu_bf16: bool = True) -> RigorousReport:
+    """Wilkinson validation for SpMM, per (row, feature) entry.
+
+    Beyond-reference (the reference only validates SpMV): the same
+    forward-error bound applies column-wise —
+    ``|C[r,f] - C64[r,f]| <= K * nnz_r * u * sum_nz |v * B[col, f]|``.
+    ``mxu_bf16=True`` widens u to bf16's roundoff, the correct bound for
+    default-precision MXU paths (inputs truncated to bf16).
+    """
+    B = np.asarray(B)
+    C_kernel = np.asarray(C_kernel, np.float64)
+    C64 = spmm(csr, B, dtype=np.float64)
+    C32 = spmm(csr, B, dtype=np.float32).astype(np.float64)
+    rid = csr.row_ids()
+    absprod = np.abs(csr.vals[:, None].astype(np.float64)
+                     * B[csr.indices].astype(np.float64))
+    l1 = np.zeros_like(C64)
+    np.add.at(l1, rid, absprod)
+    nnz_r = csr.row_sizes().astype(np.float64)[:, None]
+    u = (float(np.finfo(np.float32).eps) * 256.0 / 2.0 if mxu_bf16
+         else unit_roundoff(np.float32))
+    bound = np.maximum(atol_floor, k * nnz_r * u * l1)
+
+    err_kernel = np.abs(C_kernel - C64)
+    err_naive = np.abs(C32 - C64)
+    denom = np.maximum(np.abs(C64), 1e-30)
+    return RigorousReport(
+        wilkinson_k=k,
+        naive_mismatches=count_errors(C_kernel, C32),
+        f32_baseline_overruns=int((err_naive > bound).sum()),
+        kernel_overruns=int((err_kernel > bound).sum()),
+        max_abs_error=float(err_kernel.max(initial=0.0)),
+        max_rel_error=float((err_kernel / denom).max(initial=0.0)),
+    )

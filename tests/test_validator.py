@@ -80,3 +80,16 @@ def test_spmm_sddmm_references_vs_dense():
     expect = csr.vals * dense_dots[rid, csr.indices]
     np.testing.assert_allclose(
         reference.sddmm(csr, A, B), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_rigorous_spmm_clean_and_corrupted():
+    csr = generate.random_csr(24, 20, 0.25, seed=8)
+    B = np.random.default_rng(9).normal(size=(20, 6)).astype(np.float32)
+    C = reference.spmm(csr, B, dtype=np.float32)
+    rep = reference.rigorously_validate_spmm(csr, B, C)
+    assert rep.verdict == "NOT_A_BUG"
+    bad = C.copy()
+    bad[5, 3] += 5.0
+    rep2 = reference.rigorously_validate_spmm(csr, B, bad)
+    assert rep2.verdict == "POTENTIAL_BUG"
+    assert rep2.kernel_overruns >= 1
