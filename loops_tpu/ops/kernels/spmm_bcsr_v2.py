@@ -128,8 +128,8 @@ def bcsr_spmm_pallas_v2(bcsr, block_f: int = 256, super_rows: int | None = None,
             num_scalar_prefetch=3,
             grid=(nsup, Fp // FT),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # A blocks (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),   # B (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # A blocks (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),      # B (HBM)
             ],
             out_specs=pl.BlockSpec((SUPER * R, FT),
                                    lambda s, j, rp, bc, br: (s, j)),
