@@ -125,7 +125,8 @@ def flat_spmv_pallas(csr, plan, interpret: bool | None = None):
     )
 
     def fn(b, x):
-        products = b["vals"] * x[b["cols"]]        # [B, K]; XLA fuses gather
+        from loops_tpu.ops.gather import gather1d
+        products = b["vals"] * gather1d(x, b["cols"])  # [B, K]
         y2d = call(b["s0"], products, b["rel"])
         return y2d.reshape(-1)[:rows]
     return bufs, fn

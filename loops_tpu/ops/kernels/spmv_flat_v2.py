@@ -226,7 +226,8 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
     )
 
     def fn(b, x):
-        products = b["vals"] * x[b["cols"]]
+        from loops_tpu.ops.gather import gather1d
+        products = b["vals"] * gather1d(x, b["cols"])
         y2d = call(b["s0"], products, b["keep"], b["end_sub"],
                    b["end_lane"], b["rels"], b["mask"])
         return y2d.reshape(-1)[:rows]

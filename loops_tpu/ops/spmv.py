@@ -54,6 +54,11 @@ def _segment_sum(data, ids, num_segments, sorted_ids=False):
                                indices_are_sorted=sorted_ids)
 
 
+def _gather(x, idx):
+    from loops_tpu.ops.gather import gather1d
+    return gather1d(x, idx)
+
+
 class SpMVOperator:
     """A compiled SpMV bound to one matrix: plan once, execute many.
 
@@ -101,7 +106,7 @@ class SpMVOperator:
                         rid=jnp.asarray(plan.atom_tile_ids))
 
             def fn(b, x):
-                return _segment_sum(b["vals"] * x[b["cols"]], b["rid"],
+                return _segment_sum(b["vals"] * _gather(x, b["cols"]), b["rid"],
                                     rows, sorted_ids=True)
             return bufs, fn
 
@@ -117,7 +122,7 @@ class SpMVOperator:
             def fn(b, x):
                 y = jnp.zeros(rows, dtype=x.dtype)
                 for tiles, idx, v in b["buckets"]:
-                    y = y.at[tiles].add((v * x[idx]).sum(axis=1))
+                    y = y.at[tiles].add((v * _gather(x, idx)).sum(axis=1))
                 return y
             return bufs, fn
 
@@ -155,7 +160,7 @@ class SpMVOperator:
                         rid=jnp.asarray(coo.rows))
 
             def fn(b, x):
-                return _segment_sum(b["vals"] * x[b["cols"]], b["rid"],
+                return _segment_sum(b["vals"] * _gather(x, b["cols"]), b["rid"],
                                     rows, sorted_ids=sorted_rows)
             return bufs, fn
 
@@ -185,7 +190,7 @@ class SpMVOperator:
                     col_of_atom=jnp.asarray(csc.col_ids()))
 
         def fn(b, x):
-            return _segment_sum(b["vals"] * x[b["col_of_atom"]],
+            return _segment_sum(b["vals"] * _gather(x, b["col_of_atom"]),
                                 b["out_rows"], rows)
         return bufs, fn
 
@@ -203,7 +208,7 @@ class SpMVOperator:
             bufs = dict(idx=idx_plane, val=val_plane)
 
             def fn(b, x):
-                return (b["val"] * x[b["idx"]]).sum(axis=1)[:rows]
+                return (b["val"] * _gather(x, b["idx"])).sum(axis=1)[:rows]
             return bufs, fn
 
         # flat schedules over the closed-form uniform layout — the
@@ -261,7 +266,7 @@ class SpMVOperator:
         # Diagonal sweep: dense shifted multiplies, no irregularity at all
         # (reference: spmv/dia_thread_mapped.cuh:36-96).
         def fn(b, x):
-            return (b["vals"] * x[b["col_idx"]]).sum(axis=0)
+            return (b["vals"] * _gather(x, b["col_idx"])).sum(axis=0)
         return bufs, fn
 
     # ------------------------------------------------- flat XLA executor
@@ -289,7 +294,7 @@ class SpMVOperator:
                     ids=jnp.asarray(ids.astype(np.int32)))
 
         def fn(b, x):
-            products = b["v"] * x[b["gc"]]          # [B, K]
+            products = b["v"] * _gather(x, b["gc"])  # [B, K]
             y = _segment_sum(products.ravel(), b["ids"].ravel(), rows + 1,
                              sorted_ids=sorted_ids)
             return y[:rows]
@@ -327,5 +332,5 @@ def flat_partitioned_spmv(csr: CSR, x, atoms_per_tile: int = 8):
     cols = jnp.asarray(csr.indices)
     base_ids = jnp.asarray(flat.base_tile_ids())
     x = jnp.asarray(x)
-    return _segment_sum(vals * x[cols], base_ids, csr.shape[0],
+    return _segment_sum(vals * _gather(x, cols), base_ids, csr.shape[0],
                         sorted_ids=True)
