@@ -159,14 +159,21 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
             v = v + shift_lanes(v, d, 0.0) * kp
             kp = kp * shift_lanes(kp, d, 1.0)
         # sublane carries within each block's SUB rows:
-        # c[u] = rk[u]*c[u-1] + rk[u]*t[u-1]  (affine parallel scan),
-        # gated so carries never cross block boundaries
+        # c[u] = rk[u-1]*c[u-1] + t[u-1]  (affine parallel scan) — the
+        # incoming carry is the *previous* row's total, and it survives
+        # that row only if the previous row had no segment boundary;
+        # both terms gate to zero at block starts so carries never cross
+        # block boundaries. (An earlier revision gated with rk[u] — row
+        # u's own rowkeep — which leaks a stale carry across a boundary
+        # in row u-1 whenever row u is boundary-free; SUB=1 test blocks
+        # never exercised the carry path, hiding it.)
         sub_in_block = (jax.lax.broadcasted_iota(jnp.int32, (GS, LANES), 0)
                         % SUB)
         totals = jnp.broadcast_to(v[:, LANES - 1: LANES], (GS, LANES))
         rowkeep = jnp.broadcast_to(kp[:, LANES - 1: LANES], (GS, LANES))
-        A = jnp.where(sub_in_block >= 1, rowkeep, 0.0)
-        Bv = A * shift_subs(totals, 1, 0.0)
+        gate = (sub_in_block >= 1).astype(jnp.float32)
+        A = gate * shift_subs(rowkeep, 1, 0.0)
+        Bv = gate * shift_subs(totals, 1, 0.0)
         d = 1
         while d < SUB:
             As = shift_subs(A, d, 0.0)

@@ -40,8 +40,10 @@ def test_work_oriented_pallas_small_span():
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
-@pytest.mark.parametrize("block", [8, 32])
+@pytest.mark.parametrize("block", [8, 32, 256, 512])
 def test_merge_path_pallas_v2_matches_reference(name, block):
+    # blocks >= 256 give SUB > 1 sublanes per block, exercising the
+    # sublane carry scan (a carry-gating off-by-one once hid there)
     csr = CASES[name]()
     x = generate.make_input_vector(csr.shape[1])
     y = spmv(csr, x, schedule="merge_path", block=block, impl="pallas2")
