@@ -61,13 +61,18 @@ class RowMappedPlan:
 class GroupMappedPlan:
     """Bucketed-ELL (SELL-style) grouping.
 
-    Tiles are binned by size class (powers of two up to ``max_pitch``,
-    with one overflow bucket for heavier tiles). Each bucket stores a
-    permutation of its tile ids plus a dense atom-slot plane: slot (i, k)
-    is atom ``tile_begin(tile_i) + k`` if k < tile_size else padding.
+    Tiles are binned by size class (geometric, ``2**class_step`` growth
+    up to ``max_pitch``, with one overflow bucket for heavier tiles).
+    Each bucket stores a permutation of its tile ids plus a dense
+    atom-slot plane: slot (i, k) is atom ``tile_begin(tile_i) + k`` if
+    k < tile_size else padding.
 
     The device then runs one dense masked row-reduction per bucket —
-    regular compute, bounded padding (< 2x by construction), no scatter.
+    regular compute, bounded padding (< 2**class_step by construction),
+    no scatter. Padded slots gather index 0, and gather *issues* are the
+    cost floor on TPU (~2.5 ns each, ops/gather.py), so tighter classes
+    buy real time: on ogbn-arxiv pow-2 classes pad 1.41x (18 buckets)
+    vs 1.19x at the sqrt(2) default (31 buckets).
     """
     num_tiles: int
     num_atoms: int
@@ -76,22 +81,24 @@ class GroupMappedPlan:
     #                   atom index or 0, valid=[n_b, pitch_b] bool)
 
     @classmethod
-    def from_layout(cls, layout: Layout, max_pitch: int = 1 << 14
-                    ) -> "GroupMappedPlan":
+    def from_layout(cls, layout: Layout, max_pitch: int = 1 << 14,
+                    class_step: float = 0.5) -> "GroupMappedPlan":
         sizes = layout.tile_sizes()
         begins = layout.tile_offsets()[:-1]
         plan = cls(layout.num_tiles, layout.num_atoms)
         if layout.num_tiles == 0:
             return plan
-        # size class: smallest power of two >= size (empty tiles dropped —
-        # their output is zero by construction)
-        classes = np.zeros(len(sizes), dtype=np.int64)
+        # size class: smallest 2**(k*class_step) >= size (empty tiles
+        # dropped — their output is zero by construction)
+        classes = np.zeros(len(sizes), dtype=np.float64)
         nz = sizes > 0
-        classes[nz] = np.ceil(np.log2(sizes[nz])).astype(np.int64)
+        classes[nz] = (np.ceil(np.log2(sizes[nz]) / class_step)
+                       * class_step)
         classes[sizes > max_pitch] = -1  # overflow bucket
         for c in np.unique(classes[nz]):
             tiles = np.nonzero(nz & (classes == c))[0]
-            pitch = int(sizes[tiles].max()) if c == -1 else 1 << int(c)
+            pitch = (int(sizes[tiles].max()) if c == -1
+                     else int(np.ceil(2.0 ** c)))
             k = np.arange(pitch)
             slots = begins[tiles][:, None] + k[None, :]
             valid = k[None, :] < sizes[tiles][:, None]

@@ -29,6 +29,28 @@ def chained_ms(fn, x, iters: int = 20, warmup: bool = True) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def chained_ms_bufs(fn, bufs, x, iters: int = 20) -> float:
+    """Like :func:`chained_ms` for operator-style ``fn(bufs, x)``.
+
+    Buffers ride as jit *arguments* — closing over them would bake them
+    into the HLO as literals, which breaks remote compilation for large
+    operands (HTTP 413 on the compile RPC) and bloats executables.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(b, v):
+        return jax.lax.fori_loop(0, iters, lambda i, a: fn(b, a), v)
+
+    x = jnp.asarray(x)
+    jax.device_get(jnp.ravel(chain(bufs, x))[0])
+    t0 = time.perf_counter()
+    r = chain(bufs, x)
+    jax.device_get(jnp.ravel(r)[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def chained_ms_pair(fn, x, iters: int = 20) -> float:
     """Like :func:`chained_ms` for fn whose output shape differs from its
     input: re-injects a cheap scalar of the output into the input to keep
