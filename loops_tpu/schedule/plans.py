@@ -70,9 +70,11 @@ class GroupMappedPlan:
     The device then runs one dense masked row-reduction per bucket —
     regular compute, bounded padding (< 2**class_step by construction),
     no scatter. Padded slots gather index 0, and gather *issues* are the
-    cost floor on TPU (~2.5 ns each, ops/gather.py), so tighter classes
-    buy real time: on ogbn-arxiv pow-2 classes pad 1.41x (18 buckets)
-    vs 1.19x at the sqrt(2) default (31 buckets).
+    TPU cost floor (~2.5 ns each, ops/gather.py), so tighter classes cut
+    padding — but each bucket is a separate op chain with ~0.15 ms fixed
+    cost, which dominates: on ogbn-arxiv sqrt(2) classes (31 buckets,
+    1.19x padding) measured *slower* than pow-2 (18 buckets, 1.41x), so
+    pow-2 stays the default; tune per matrix via ``class_step``.
     """
     num_tiles: int
     num_atoms: int
@@ -82,7 +84,7 @@ class GroupMappedPlan:
 
     @classmethod
     def from_layout(cls, layout: Layout, max_pitch: int = 1 << 14,
-                    class_step: float = 0.5) -> "GroupMappedPlan":
+                    class_step: float = 1.0) -> "GroupMappedPlan":
         sizes = layout.tile_sizes()
         begins = layout.tile_offsets()[:-1]
         plan = cls(layout.num_tiles, layout.num_atoms)
