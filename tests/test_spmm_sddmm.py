@@ -160,3 +160,21 @@ def test_spmm_group_mapped_hub_dense():
     assert "hub_rows" in op._bufs          # the split actually fired
     C = np.asarray(op(B))
     assert count_mismatches(C, reference.spmm(csr, B), 1e-3, 1e-4) == 0
+
+
+def test_sddmm_bf16_close_to_f32():
+    """dtype="bfloat16" rounds operands (2.5x on TPU); scores must stay
+    within bf16 rounding of the f32 path."""
+    import numpy as np
+
+    from loops_tpu.ops.sddmm import sddmm
+    from loops_tpu.utils import generate
+
+    csr = generate.random_csr(60, 50, 0.1, seed=5)
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(60, 32)).astype(np.float32)
+    B = rng.normal(size=(50, 32)).astype(np.float32)
+    ref = np.asarray(sddmm(csr, A, B))
+    got = np.asarray(sddmm(csr, A, B, dtype="bfloat16"))
+    # bf16 has ~3 decimal digits; dot length 32
+    assert np.allclose(got, ref, atol=0.2, rtol=0.05)
