@@ -1,0 +1,83 @@
+"""Out-of-core sharded CSR: partition-then-plan + streaming SpMM."""
+import numpy as np
+import pytest
+
+from loops_tpu.io.shards import ShardedCSR, StreamedSpMM
+from loops_tpu.utils import generate
+
+
+@pytest.fixture
+def store(tmp_path):
+    csr = generate.random_csr(200, 180, 0.05, seed=9)
+    sharded = ShardedCSR.build(csr, 4, str(tmp_path / "shards"))
+    return csr, sharded
+
+
+def test_shard_roundtrip(store, tmp_path):
+    csr, sharded = store
+    re = ShardedCSR.open(str(tmp_path / "shards"))
+    assert re.num_shards == 4
+    assert tuple(re.shape) == csr.shape
+    # every edge present exactly once, with global cols recoverable
+    total = 0
+    for p in range(4):
+        s = re.shard(p)
+        nnz = len(s["indices"])
+        total += nnz
+        gcols = np.asarray(s["gather"])[np.asarray(s["indices"])]
+        r0 = s["row0"]
+        a0 = csr.offsets[r0]
+        assert np.array_equal(gcols, csr.indices[a0:a0 + nnz])
+        assert np.array_equal(np.asarray(s["vals"]),
+                              csr.vals[a0:a0 + nnz])
+    assert total == csr.nnz
+
+
+def test_edge_balance(store):
+    csr, sharded = store
+    nnzs = np.asarray(sharded.meta["nnzs"], dtype=np.float64)
+    rows = np.diff(sharded.row_starts)
+    work = nnzs + rows
+    # merge-path cut: every shard within ~2x of the mean work share
+    assert work.max() <= 2.0 * work.mean() + 1
+
+
+def test_partition_then_plan(store):
+    csr, sharded = store
+    for p in range(4):
+        plan = sharded.plan(p, "merge_path", block_work=64)
+        s = sharded.shard(p)
+        assert plan.num_atoms == len(s["indices"])
+        assert plan.num_tiles == s["rows"]
+
+
+def test_streamed_spmm_matches_dense(store):
+    csr, sharded = store
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(csr.shape[1], 16)).astype(np.float32)
+    got = StreamedSpMM(sharded)(X)
+    want = csr.to_dense() @ X
+    assert np.allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_streamed_spmm_memmap_out(store, tmp_path):
+    csr, sharded = store
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(csr.shape[1], 8)).astype(np.float32)
+    out = np.lib.format.open_memmap(
+        str(tmp_path / "y.npy"), mode="w+",
+        dtype=np.float32, shape=(csr.shape[0], 8))
+    got = StreamedSpMM(sharded)(X, out=out)
+    out.flush()
+    want = csr.to_dense() @ X
+    assert np.allclose(np.load(str(tmp_path / "y.npy")), want,
+                       atol=1e-4, rtol=1e-4)
+
+
+def test_empty_rows_and_tiny_shards(tmp_path):
+    csr = generate.empty_row_csr(17, 5)
+    sharded = ShardedCSR.build(csr, 6, str(tmp_path / "s2"))
+    X = np.ones((csr.shape[1], 4), np.float32)
+    got = StreamedSpMM(sharded)(X)
+    want = csr.to_dense() @ X
+    assert np.allclose(got, want, atol=1e-5)
