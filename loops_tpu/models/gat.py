@@ -41,20 +41,30 @@ def init_gat(key, dims, heads: int = 4):
 
 class GAT:
     """Multi-head GAT; heads are averaged on the last layer and
-    concatenated elsewhere (standard GAT head handling)."""
+    concatenated elsewhere (standard GAT head handling).
+
+    ``fused=True`` (default) runs the whole score->softmax->aggregate
+    pipeline through the group_mapped schedule in one pass
+    (ops/attention.py) — no per-edge arrays, no segment scatters.
+    ``fused=False`` keeps the textbook per-edge composition.
+    """
 
     def __init__(self, graph: Graph, dims, heads: int = 4,
-                 negative_slope: float = 0.2):
+                 negative_slope: float = 0.2, fused: bool = True):
         self.graph = graph.add_self_loops()
         self.dims = list(dims)
         self.heads = heads
         self.negative_slope = negative_slope
+        self.fused = fused
         adj = self.graph.adj
         import jax.numpy as jnp
 
         self._dst = jnp.asarray(adj.row_ids())
         self._src = jnp.asarray(adj.indices)
         self._n = self.graph.num_nodes
+        if fused:
+            from loops_tpu.ops.attention import GroupedAttentionAggregate
+            self._fused_op = GroupedAttentionAggregate(adj, negative_slope)
 
     def init(self, key):
         return init_gat(key, self.dims, self.heads)
@@ -72,12 +82,15 @@ class GAT:
             # <a, [Wh_i || Wh_j]> splits into src/dst halves)
             s_src = jnp.einsum("nhd,hd->nh", hw, layer["a_src"])
             s_dst = jnp.einsum("nhd,hd->nh", hw, layer["a_dst"])
-            e = s_src[src] + s_dst[dst]                     # [E, H]
-            e = jax.nn.leaky_relu(e, self.negative_slope)
-            alpha = segment_softmax(e, dst, n, sorted_ids=True)  # [E, H]
-            # aggregate: per head, SpMM with alpha as edge values
-            msgs = alpha[..., None] * hw[src]               # [E, H, D]
-            out = segment_sum(msgs, dst, n, sorted_ids=True)  # [N, H, D]
+            if self.fused:
+                out = self._fused_op._fn(self._fused_op._bufs,
+                                         s_src, s_dst, hw)  # [N, H, D]
+            else:
+                e = s_src[src] + s_dst[dst]                 # [E, H]
+                e = jax.nn.leaky_relu(e, self.negative_slope)
+                alpha = segment_softmax(e, dst, n, sorted_ids=True)
+                msgs = alpha[..., None] * hw[src]           # [E, H, D]
+                out = segment_sum(msgs, dst, n, sorted_ids=True)
             if li + 1 < len(params):
                 h = jax.nn.elu(out.reshape(n, H * d_out))
             else:

@@ -1,0 +1,106 @@
+"""Schedule-driven attention aggregation (the fused GAT layer core).
+
+The textbook GAT pipeline materializes per-edge arrays and scatters:
+
+    e     = leaky_relu(s_src[src] + s_dst[dst])        [E, H]
+    alpha = segment_softmax(e, dst)                    [E, H]  (2 segment
+                                                       ops + 2 gathers)
+    out   = segment_sum(alpha[..,None] * hw[src], dst) [N, H, D] (scatter)
+
+On TPU every per-edge segment op pays the scalar-scatter slow path. But
+under the group_mapped schedule a destination row is one contiguous
+window of a degree-class plane — the softmax normalization domain *is*
+the window. So the entire layer fuses into the bucketed-ELL pass
+(ops/spmm.py group_mapped), flash-attention style:
+
+    per bucket (rows of one degree class, plane [tiles, pitch]):
+        E   = leaky_relu(s_src[idx] + s_dst[tiles, None])   in-plane
+        Z   = exp(E - max_pitch(E)) masked                  in-plane
+        out = einsum("tph,tphd->thd", Z, hw[idx]) / sum(Z)  MXU/VPU
+
+No per-edge arrays exist at all; the only scatter is one unique-index
+row set per bucket. The schedule abstraction (reference: group_mapped,
+schedule/group_mapped.hxx:104-143) is doing the same job it does for
+SpMV/SpMM — this is the framework's thesis applied to attention.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from loops_tpu.formats import CSR
+from loops_tpu.layout import CsrLayout
+from loops_tpu.schedule.plans import make_plan
+
+__all__ = ["GroupedAttentionAggregate"]
+
+
+class GroupedAttentionAggregate:
+    """Fused masked-softmax attention aggregation over a fixed graph.
+
+    ``op(s_src, s_dst, hw) -> [N, H, D]`` where ``s_src``/``s_dst`` are
+    per-node per-head logit halves ([N, H]) and ``hw`` the transformed
+    features ([N, H, D]); semantics match segment_softmax over incoming
+    edges of each destination followed by the weighted segment_sum.
+    """
+
+    def __init__(self, adj: CSR, negative_slope: float = 0.2):
+        import jax
+
+        self.adj = adj
+        self.n = adj.shape[0]
+        self.negative_slope = float(negative_slope)
+        plan = make_plan(CsrLayout.from_csr(adj), "group_mapped")
+        import jax.numpy as jnp
+
+        self._bufs = dict(buckets=[
+            (jnp.asarray(b["tiles"]),
+             jnp.asarray(adj.indices[b["atom_slots"]]),
+             jnp.asarray(b["valid"]))
+            for b in plan.buckets])
+        self._jit = jax.jit(self._fn)
+
+    def _fn(self, bufs, s_src, s_dst, hw):
+        import jax
+        import jax.numpy as jnp
+
+        n, slope = self.n, self.negative_slope
+        H, D = hw.shape[1], hw.shape[2]
+        out = jnp.zeros((n, H, D), hw.dtype)
+        neg = jnp.asarray(-jnp.inf, s_src.dtype)
+        for tiles, idx, valid in bufs["buckets"]:
+            e = s_src[idx] + s_dst[tiles][:, None, :]     # [t, p, H]
+            e = jax.nn.leaky_relu(e, slope)
+            e = jnp.where(valid[..., None], e, neg)
+            m = e.max(axis=1, keepdims=True)              # [t, 1, H]
+            z = jnp.where(valid[..., None], jnp.exp(e - m), 0.0)
+            denom = z.sum(axis=1)                         # [t, H]
+            f = hw[idx]                                   # [t, p, H, D]
+            agg = jnp.einsum("tph,tphd->thd", z, f)
+            out = out.at[tiles].set(
+                agg / jnp.maximum(denom, 1e-30)[..., None],
+                unique_indices=True)
+        return out
+
+    def __call__(self, s_src, s_dst, hw):
+        return self._jit(self._bufs, s_src, s_dst, hw)
+
+
+def reference_attention_aggregate(adj: CSR, s_src, s_dst, hw,
+                                  negative_slope: float = 0.2):
+    """Per-edge numpy oracle for tests (segment_softmax semantics)."""
+    n = adj.shape[0]
+    dst = adj.row_ids()
+    src = adj.indices
+    e = s_src[src] + s_dst[dst]                          # [E, H]
+    e = np.where(e >= 0, e, negative_slope * e)
+    out = np.zeros((n,) + hw.shape[1:], np.float64)
+    for r in range(n):
+        a0, a1 = adj.offsets[r], adj.offsets[r + 1]
+        if a0 == a1:
+            continue
+        er = e[a0:a1].astype(np.float64)
+        z = np.exp(er - er.max(axis=0, keepdims=True))
+        alpha = z / z.sum(axis=0, keepdims=True)
+        out[r] = np.einsum("ph,phd->hd", alpha,
+                           hw[src[a0:a1]].astype(np.float64))
+    return out.astype(np.float32)
