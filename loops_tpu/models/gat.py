@@ -89,8 +89,12 @@ class GAT:
                 e = s_src[src] + s_dst[dst]                 # [E, H]
                 e = jax.nn.leaky_relu(e, self.negative_slope)
                 alpha = segment_softmax(e, dst, n, sorted_ids=True)
-                msgs = alpha[..., None] * hw[src]           # [E, H, D]
+                # gather/scatter via flat [., H*D] views (3-D operands
+                # hit XLA's per-element slow paths; ops/attention.py)
+                hws = hw.reshape(n, -1)[src].reshape(-1, H, d_out)
+                msgs = (alpha[..., None] * hws).reshape(-1, H * d_out)
                 out = segment_sum(msgs, dst, n, sorted_ids=True)
+                out = out.reshape(n, H, d_out)
             if li + 1 < len(params):
                 h = jax.nn.elu(out.reshape(n, H * d_out))
             else:

@@ -65,7 +65,13 @@ class GroupedAttentionAggregate:
 
         n, slope = self.n, self.negative_slope
         H, D = hw.shape[1], hw.shape[2]
-        out = jnp.zeros((n, H, D), hw.dtype)
+        # gather from the flattened [N, H*D] view: a 3-D operand makes
+        # XLA issue per-ELEMENT scalar gathers (measured seconds at
+        # arxiv scale); flat H*D-wide rows take the vector fast path
+        hw2 = hw.reshape(n, H * D)
+        # out stays flat [N, H*D]: 3-D scatters (like 3-D gathers) hit
+        # XLA's per-element slow path on TPU
+        out = jnp.zeros((n, H * D), hw.dtype)
         neg = jnp.asarray(-jnp.inf, s_src.dtype)
         for tiles, idx, valid in bufs["buckets"]:
             e = s_src[idx] + s_dst[tiles][:, None, :]     # [t, p, H]
@@ -74,12 +80,13 @@ class GroupedAttentionAggregate:
             m = e.max(axis=1, keepdims=True)              # [t, 1, H]
             z = jnp.where(valid[..., None], jnp.exp(e - m), 0.0)
             denom = z.sum(axis=1)                         # [t, H]
-            f = hw[idx]                                   # [t, p, H, D]
+            t, p = idx.shape
+            f = hw2[idx].reshape(t, p, H, D)              # [t, p, H, D]
             agg = jnp.einsum("tph,tphd->thd", z, f)
-            out = out.at[tiles].set(
-                agg / jnp.maximum(denom, 1e-30)[..., None],
-                unique_indices=True)
-        return out
+            agg = agg / jnp.maximum(denom, 1e-30)[..., None]
+            out = out.at[tiles].set(agg.reshape(t, H * D),
+                                    unique_indices=True)
+        return out.reshape(n, H, D)
 
     def __call__(self, s_src, s_dst, hw):
         return self._jit(self._bufs, s_src, s_dst, hw)
