@@ -50,7 +50,8 @@ class GAT:
     """
 
     def __init__(self, graph: Graph, dims, heads: int = 4,
-                 negative_slope: float = 0.2, fused: bool = True):
+                 negative_slope: float = 0.2, fused: bool = True,
+                 dtype=None):
         self.graph = graph.add_self_loops()
         self.dims = list(dims)
         self.heads = heads
@@ -64,7 +65,8 @@ class GAT:
         self._n = self.graph.num_nodes
         if fused:
             from loops_tpu.ops.attention import GroupedAttentionAggregate
-            self._fused_op = GroupedAttentionAggregate(adj, negative_slope)
+            self._fused_op = GroupedAttentionAggregate(adj, negative_slope,
+                                                       dtype=dtype)
 
     def init(self, key):
         return init_gat(key, self.dims, self.heads)

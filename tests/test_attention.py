@@ -52,3 +52,18 @@ def test_gat_fused_matches_textbook():
     yf = np.asarray(m_f.apply(params, x))
     yt = np.asarray(m_t.apply(params, x))
     assert np.allclose(yf, yt, atol=1e-4, rtol=1e-4)
+
+
+def test_grouped_attention_bf16_close():
+    csr = generate.random_csr(40, 40, 0.12, seed=3)
+    dense = csr.to_dense() + np.eye(40, dtype=np.float32)
+    from loops_tpu.formats import COO
+    csr = COO.from_dense(dense).to_csr()
+    rng = np.random.default_rng(1)
+    s_src = rng.normal(size=(40, 2)).astype(np.float32)
+    s_dst = rng.normal(size=(40, 2)).astype(np.float32)
+    hw = rng.normal(size=(40, 2, 8)).astype(np.float32)
+    f32 = np.asarray(GroupedAttentionAggregate(csr)(s_src, s_dst, hw))
+    bf = np.asarray(GroupedAttentionAggregate(csr, dtype="bfloat16")(
+        s_src, s_dst, hw))
+    assert np.allclose(bf, f32, atol=0.05, rtol=0.05)
