@@ -58,7 +58,15 @@ def make_train_step(model, optimizer, features, labels, train_mask,
 
 
 def evaluate(model, params, features, labels, mask):
+    import jax
     import jax.numpy as jnp
 
-    logits = model.apply(params, jnp.asarray(features))
+    # cache one jitted apply per model: eager evaluation dispatches
+    # per-op (ruinous on remote-attached devices — measured 1.3 s/epoch
+    # of a 75 ms/step training loop going to un-jitted evals)
+    ap = getattr(model, "_jit_apply", None)
+    if ap is None:
+        ap = jax.jit(model.apply)
+        model._jit_apply = ap
+    logits = ap(params, jnp.asarray(features))
     return float(accuracy(logits, jnp.asarray(labels), jnp.asarray(mask)))
