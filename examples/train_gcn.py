@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--dropout", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps-per-call", type=int, default=None,
+                   help="training steps batched per device dispatch")
     args = p.parse_args(argv)
 
     ds = ogb.load(args.dataset, scale=args.scale)
@@ -58,9 +60,15 @@ def main(argv=None):
 
     opt = optax.adam(args.lr)
     if args.model == "gcn":
-        step = jax.jit(T.make_train_step(model, opt, ds.features,
-                                         ds.labels, ds.train_mask))
+        # batch steps per dispatch: remote-device round-trip (~1 s)
+        # otherwise dwarfs the 75 ms step (models/train.py)
+        spc = max(args.epochs // 10, 1) if args.steps_per_call is None \
+            else args.steps_per_call
+        step = jax.jit(T.make_train_epochs(model, opt, ds.features,
+                                           ds.labels, ds.train_mask,
+                                           steps_per_call=spc))
     else:
+        spc = 1
         import jax.numpy as jnp
 
         feats = jnp.asarray(ds.features)
@@ -81,9 +89,9 @@ def main(argv=None):
     opt_state = opt.init(params)
     rng = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
-    for epoch in range(args.epochs):
+    for epoch in range(0, args.epochs, spc):
         params, opt_state, rng, loss = step(params, opt_state, rng)
-        if epoch % max(args.epochs // 10, 1) == 0:
+        if (epoch // spc) % max(args.epochs // spc // 10, 1) == 0:
             val = T.evaluate(model, params, ds.features, ds.labels,
                              ds.val_mask)
             print(f"epoch {epoch:4d} loss {float(loss):.4f} val {val:.4f}")
