@@ -282,3 +282,38 @@ def test_aggregation_custom_vjp_mean_asymmetric():
     gs = np.asarray(jax.grad(lambda X: (op._fn(X) ** 3).sum())(X))
     gd = np.asarray(jax.grad(lambda X: ((dense @ X) ** 3).sum())(X))
     np.testing.assert_allclose(gs, gd, rtol=1e-3, atol=1e-4)
+
+
+def test_make_train_epochs_matches_manual_loop():
+    """Batched fori_loop epochs == the same steps dispatched one by one."""
+    import jax
+    import numpy as np
+    import optax
+
+    from loops_tpu.models import GCN
+    from loops_tpu.models import train as T
+    from loops_tpu.models.graph import Graph
+    from loops_tpu.utils import generate
+
+    csr = generate.random_csr(30, 30, 0.15, seed=21)
+    g = Graph(csr)
+    model = GCN(g, [6, 8, 4], dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    rng0 = jax.random.PRNGKey(7)
+    feats = np.random.default_rng(0).normal(size=(30, 6)).astype(np.float32)
+    labels = np.random.default_rng(1).integers(0, 4, 30).astype(np.int32)
+    mask = np.ones(30, np.float32)
+    opt = optax.sgd(1e-2)
+
+    step = jax.jit(T.make_train_step(model, opt, feats, labels, mask))
+    p1, s1, r1 = params, opt.init(params), rng0
+    for _ in range(5):
+        p1, s1, r1, loss1 = step(p1, s1, r1)
+
+    epochs = jax.jit(T.make_train_epochs(model, opt, feats, labels, mask,
+                                         steps_per_call=5))
+    p2, s2, r2, loss2 = epochs(params, opt.init(params), rng0)
+
+    assert np.allclose(float(loss1), float(loss2), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
