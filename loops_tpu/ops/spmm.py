@@ -105,16 +105,24 @@ class SpMMOperator:
                     hub_tiles.astype(np.int32))
                 bufs["hub_rows"] = jnp.asarray(dense)
 
+            dtype = self.dtype
+
             def fn(b, B):
-                C = jnp.zeros((rows, B.shape[1]), B.dtype)
+                # dtype="bfloat16" halves the random B-row gather
+                # traffic — the binding resource once F > ~128 (the
+                # issue-bound regime below that is dtype-insensitive);
+                # accumulation stays f32
+                Bg = B if dtype is None else B.astype(dtype)
+                C = jnp.zeros((rows, B.shape[1]), jnp.float32)
                 for tiles, idx, v in b["buckets"]:
-                    C = C.at[tiles].add(
-                        (v[..., None] * B[idx]).sum(axis=1))
+                    vv = v if dtype is None else v.astype(dtype)
+                    s = (vv[..., None] * Bg[idx]).astype(jnp.float32)
+                    C = C.at[tiles].add(s.sum(axis=1))
                 if "hub_rows" in b:
                     hub_out = jnp.dot(b["hub_rows"], B,
                                       preferred_element_type=jnp.float32)
                     C = C.at[b["hub_tiles"]].add(hub_out.astype(C.dtype))
-                return C
+                return C.astype(B.dtype)
             return bufs, fn
 
         bufs = dict(vals=jnp.asarray(csr.vals),
