@@ -1,0 +1,178 @@
+"""Flat merge-path SpMM as a Pallas TPU kernel.
+
+The merge-path schedule applied to C = A(csr) @ B — the SpMM member of
+the balanced-kernel family (reference analog: the schedule machinery of
+spmv/merge_path_flat.cuh:96-139 — the reference itself never built a
+merge-path SpMM; its only SpMM is thread-mapped).
+
+Design (per block b of the FlatBlockPlan, K atoms, row span <= K):
+
+    products  = vals[b][:, None] * B[cols[b]]        [K, F]  (XLA gather,
+                staged host-ordered so the gather is one fast-path pass)
+    onehot    = (rel[b][:, None] == iota_R)          [K, R]
+    partial   = onehot^T @ products                  [R, F]  (MXU,
+                contraction over the K atoms)
+    y[stripe, base : base+R, ftile] += partial       (VMEM-resident)
+
+Output residency: y is cut into row *stripes* of ``stripe_rows``; the
+plan is re-cut at stripe edges (``FlatBlockPlan.cut_at_rows``) so every
+block writes inside one stripe, and the grid orders (ftile outer, block
+inner) so each (stripe, ftile) output block is visited by consecutive
+grid steps only — Pallas keeps it in VMEM across its blocks and spills
+it exactly once (same revisit discipline as ops/kernels/spmm_bcsr.py).
+Blocks are padded to GROUP per stripe; pad blocks stage zero products.
+
+Seam rows (a row split across two blocks) are accumulated by the
+sequential grid — the reference's atomicAdd seams (work_oriented.cuh:
+55-88) become ordinary ``+=`` on the resident stripe, deterministic by
+construction.
+
+dtype=None keeps f32 products exact through the MXU via the 3-way bf16
+split (ops/kernels/mxu_exact.py); dtype="bfloat16" rounds products once
+and runs single-pass MXU — the GNN-aggregation mode.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from loops_tpu.formats.base import INDEX_DTYPE
+
+LANES = 128
+GROUP = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
+                     dtype=None, interpret: bool | None = None):
+    """Build ``(bufs, fn(bufs, B))`` for CSR @ dense via a merge-path plan."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    rows, cols_n = csr.shape
+    K = plan.block_atoms
+    span0 = plan.max_rel_span
+    ST = _round_up(max(int(stripe_rows), 2 * _round_up(span0, 8) + 8), 8)
+    plan = plan.cut_at_rows(ST)
+
+    r0 = plan.tile_starts[:-1].astype(np.int64)
+    stripe_of = r0 // ST
+    local = r0 - stripe_of * ST
+    base = (local // 8) * 8
+    rel = plan.rel_tile + (local - base)[:, None]
+    R = _round_up(int(rel.max(initial=0)) + 1, 8)
+    # shift blocks whose window would poke past the stripe end
+    over = base + R - ST
+    shift = np.maximum(over, 0)
+    base = base - shift
+    rel = rel + shift[:, None]
+    R = _round_up(int(rel.max(initial=0)) + 1, 8)
+    assert R <= ST and (base >= 0).all()
+
+    n_stripes = max(_round_up(rows, ST) // ST, 1)
+    # group blocks by stripe, pad each stripe to GROUP, cover empty stripes
+    order, bases, rels_l, gathers, valids, stripes_g, firsts = \
+        [], [], [], [], [], [], []
+    nb = plan.num_blocks
+    for s in range(n_stripes):
+        blocks = np.nonzero(stripe_of == s)[0] if nb else np.array([], int)
+        cnt = max(_round_up(len(blocks), GROUP), GROUP)
+        for i in range(cnt):
+            if i < len(blocks):
+                b = blocks[i]
+                order.append(b)
+                bases.append(base[b])
+                rels_l.append(rel[b])
+                gathers.append(plan.atom_gather[b])
+                valids.append(plan.valid[b])
+            else:
+                order.append(-1)
+                bases.append(0)
+                rels_l.append(np.zeros(K, np.int64))
+                gathers.append(np.zeros(K, np.int64))
+                valids.append(np.zeros(K, bool))
+        for gidx in range(cnt // GROUP):
+            stripes_g.append(s)
+            firsts.append(1 if gidx == 0 else 0)
+    B = len(order)
+    gathers = np.asarray(gathers)
+    valids = np.asarray(valids)
+    vals_staged = np.where(valids, csr.vals[gathers], 0).reshape(-1)
+    cols_staged = np.where(valids, csr.indices[gathers], 0).reshape(-1)
+
+    bufs = dict(
+        vals=jnp.asarray(vals_staged.astype(np.float32)),
+        cols=jnp.asarray(cols_staged.astype(INDEX_DTYPE)),
+        rel=jnp.asarray(np.asarray(rels_l).astype(INDEX_DTYPE)),
+        s0=jnp.asarray(np.asarray(bases).astype(INDEX_DTYPE)),
+        stripe=jnp.asarray(np.asarray(stripes_g).astype(INDEX_DTYPE)),
+        first=jnp.asarray(np.asarray(firsts).astype(INDEX_DTYPE)),
+    )
+    GS = GROUP * K
+
+    def kernel(s0_ref, stripe_ref, first_ref, prod_ref, rel_ref, y_ref):
+        g = pl.program_id(1)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        dims = (((0,), (0,)), ((), ()))
+        for j in range(GROUP):
+            pj = prod_ref[j * K:(j + 1) * K, :]           # [K, FT]
+            oh = (rel_ref[j, :].reshape(K, 1)
+                  == jax.lax.broadcasted_iota(jnp.int32, (K, R), 1))
+            if dtype is None:
+                ohf = oh.astype(jnp.float32)
+                h1 = pj.astype(jnp.bfloat16).astype(jnp.float32)
+                r1 = pj - h1
+                h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+                r2 = r1 - h2
+                partial = sum(
+                    jax.lax.dot_general(ohf, t, dims,
+                                        preferred_element_type=jnp.float32)
+                    for t in (h1, h2, r2))                # [R, FT]
+            else:
+                partial = jax.lax.dot_general(
+                    oh.astype(pj.dtype), pj, dims,
+                    preferred_element_type=jnp.float32)   # [R, FT]
+            base_j = s0_ref[g * GROUP + j]
+            y_ref[pl.ds(base_j, R), :] += partial
+
+    def fn(b, Bmat):
+        F = Bmat.shape[1]
+        FT = min(int(block_f), _round_up(F, LANES))
+        Fp = _round_up(F, FT)
+        Bp = jnp.zeros((cols_n, Fp), Bmat.dtype).at[:, :F].set(Bmat)
+        if dtype is not None:
+            Bp = Bp.astype(dtype)
+            products = (b["vals"].astype(dtype)[:, None] * Bp[b["cols"]])
+        else:
+            products = b["vals"][:, None] * Bp[b["cols"]]  # [B*K, Fp]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(Fp // FT, B // GROUP),
+            in_specs=[
+                pl.BlockSpec((GS, FT), lambda f, g, s0, st, fi: (g, f)),
+                pl.BlockSpec((GROUP, K), lambda f, g, s0, st, fi: (g, 0)),
+            ],
+            out_specs=pl.BlockSpec((ST, FT),
+                                   lambda f, g, s0, st, fi: (st[g], f)),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_stripes * ST, Fp),
+                                           jnp.float32),
+            interpret=interpret,
+        )(b["s0"], b["stripe"], b["first"], products, b["rel"])
+        return out[:rows, :F]
+    return bufs, fn

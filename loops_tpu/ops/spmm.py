@@ -9,6 +9,9 @@ MXU earns its keep, so SpMM gets the deepest treatment:
   (XLA fuses the gather into the reduction; the irregular baseline).
 * CSR ``group_mapped`` — bucketed-ELL planes: dense masked
   [rows_b, pitch_b, F] reductions per degree class, zero scatter.
+* CSR ``merge_path`` + ``impl="pallas"`` — the flat balanced kernel:
+  per-block one-hot MXU reduction over staged products with
+  stripe-resident output (ops/kernels/spmm_flat.py).
 * ELL — one uniform dense plane reduction.
 * BCSR — **the speed-of-light path**: grouped block-sparse matmul.
   ``impl="xla"`` is a batched einsum + segment-sum over block rows;
@@ -41,13 +44,14 @@ class SpMMOperator:
 
     def __init__(self, mat, schedule: str = "row_mapped",
                  impl: str = "xla", block_f: int = 512, dtype=None,
-                 hub_dense_min: int | None = None):
+                 hub_dense_min: int | None = None, block: int = 512):
         import jax
 
         self.mat = mat
         self.rows, self.cols = mat.shape
         self.schedule = schedule
         self.impl = impl
+        self.block = block
         self.block_f = block_f
         self.dtype = dtype
         self.hub_dense_min = hub_dense_min
@@ -124,6 +128,16 @@ class SpMMOperator:
                     C = C.at[b["hub_tiles"]].add(hub_out.astype(C.dtype))
                 return C.astype(B.dtype)
             return bufs, fn
+
+        if schedule == "merge_path" and impl == "pallas":
+            # the flat merge-path Pallas kernel needs the bounded-span
+            # guarantee (<= K rows per block); work_oriented has
+            # data-dependent spans and stays on the XLA path
+            from loops_tpu.ops.kernels.spmm_flat import flat_spmm_pallas
+            plan = make_plan(CsrLayout.from_csr(csr), "merge_path",
+                             block_work=self.block)
+            return flat_spmm_pallas(csr, plan, block_f=self.block_f,
+                                    dtype=self.dtype)
 
         bufs = dict(vals=jnp.asarray(csr.vals),
                     cols=jnp.asarray(csr.indices),
@@ -207,9 +221,10 @@ def _op_cache(mat) -> dict:
 
 
 def spmm(mat, B, schedule: str = "row_mapped", impl: str = "xla",
-         block_f: int = 512, dtype=None):
-    key = (schedule, impl, block_f, str(dtype))
+         block_f: int = 512, dtype=None, block: int = 512):
+    key = (schedule, impl, block_f, str(dtype), block)
     cache = _op_cache(mat)
     if key not in cache:
-        cache[key] = SpMMOperator(mat, schedule, impl, block_f, dtype)
+        cache[key] = SpMMOperator(mat, schedule, impl, block_f, dtype,
+                                  block=block)
     return cache[key](B)

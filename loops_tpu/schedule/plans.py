@@ -200,8 +200,39 @@ class FlatBlockPlan:
         total = layout.num_tiles + layout.num_atoms
         nb = max(-(-total // K), 1)
         t, a = merge_path_partition(layout.tile_offsets(), nb, K)
-        return cls._stage("merge_path", layout, t.astype(np.int64),
+        plan = cls._stage("merge_path", layout, t.astype(np.int64),
                           a.astype(np.int64), K)
+        plan._layout = layout
+        return plan
+
+    def cut_at_rows(self, stripe_rows: int) -> "FlatBlockPlan":
+        """Re-stage with extra block boundaries at row multiples of
+        ``stripe_rows`` so no block's rows cross a stripe edge — the
+        precondition for stripe-resident output accumulation in the flat
+        SpMM kernel (ops/kernels/spmm_flat.py). Splitting only shrinks
+        blocks, so the <= K atoms / <= K rows guarantees survive."""
+        layout = getattr(self, "_layout", None)
+        if layout is None:
+            raise ValueError("cut_at_rows requires a planner-built plan")
+        offsets = layout.tile_offsets().astype(np.int64)
+        bounds = np.arange(stripe_rows, layout.num_tiles, stripe_rows,
+                           dtype=np.int64)
+        cut_atoms = offsets[bounds]
+        atom_starts = np.unique(np.concatenate(
+            [self.atom_starts.astype(np.int64), cut_atoms]))
+        ids = layout.atom_tile_ids()
+        nb = len(atom_starts) - 1
+        tile_starts = np.zeros(nb + 1, dtype=np.int64)
+        if layout.num_atoms:
+            # block's first row = row of its first atom (empty blocks
+            # inherit the next atom's row; they stage as all-invalid)
+            tile_starts[:-1] = ids[np.minimum(atom_starts[:-1],
+                                              layout.num_atoms - 1)]
+            tile_starts[-1] = layout.num_tiles
+        plan = type(self)._stage(self.schedule, layout, tile_starts,
+                                 atom_starts, self.block_atoms)
+        plan._layout = layout
+        return plan
 
 
 def choose_schedule(layout: Layout) -> str:

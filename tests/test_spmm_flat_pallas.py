@@ -1,0 +1,77 @@
+"""Flat merge-path SpMM Pallas kernel (interpret mode off-TPU)."""
+import numpy as np
+import pytest
+
+from loops_tpu.ops.spmm import SpMMOperator
+from loops_tpu.utils import generate
+
+CASES = {
+    "identity": lambda: generate.identity_csr(16),
+    "skewed": lambda: generate.skewed_csr(14, 24, heavy_rows=2),
+    "empty_rows": lambda: generate.empty_row_csr(15, 9),
+    "random": lambda: generate.random_csr(40, 35, 0.15, seed=11),
+    "random_big": lambda: generate.random_csr(300, 280, 0.03, seed=3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("block", [8, 64])
+@pytest.mark.parametrize("F", [5, 16])
+def test_flat_spmm_matches_dense(name, block, F):
+    csr = CASES[name]()
+    rng = np.random.default_rng(1)
+    B = rng.normal(size=(csr.shape[1], F)).astype(np.float32)
+    op = SpMMOperator(csr, schedule="merge_path", impl="pallas",
+                      block=block)
+    got = np.asarray(op(B))
+    want = csr.to_dense() @ B
+    assert np.allclose(got, want, atol=1e-4, rtol=1e-4), (
+        np.abs(got - want).max())
+
+
+def test_flat_spmm_stripe_crossing():
+    """Rows crossing the stripe boundary must split cleanly: force a
+    tiny stripe by using many rows and small blocks."""
+    csr = generate.random_csr(120, 60, 0.1, seed=5)
+    rng = np.random.default_rng(2)
+    B = rng.normal(size=(60, 8)).astype(np.float32)
+    from loops_tpu.layout import CsrLayout
+    from loops_tpu.ops.kernels.spmm_flat import flat_spmm_pallas
+    from loops_tpu.schedule.plans import make_plan
+
+    plan = make_plan(CsrLayout.from_csr(csr), "merge_path", block_work=16)
+    bufs, fn = flat_spmm_pallas(csr, plan, stripe_rows=40)
+    got = np.asarray(fn(bufs, B))
+    want = csr.to_dense() @ B
+    assert np.allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_flat_spmm_bf16_close():
+    csr = generate.random_csr(60, 50, 0.1, seed=8)
+    rng = np.random.default_rng(3)
+    B = rng.normal(size=(50, 16)).astype(np.float32)
+    f32 = np.asarray(SpMMOperator(csr, schedule="merge_path",
+                                  impl="pallas")(B))
+    bf = np.asarray(SpMMOperator(csr, schedule="merge_path", impl="pallas",
+                                 dtype="bfloat16")(B))
+    assert np.allclose(bf, f32, atol=0.1, rtol=0.05)
+
+
+def test_flat_spmm_multiple_ftiles():
+    """F > block_f exercises the (ftile, block) grid with output
+    revisiting per stripe."""
+    csr = generate.random_csr(50, 40, 0.12, seed=9)
+    rng = np.random.default_rng(4)
+    B = rng.normal(size=(40, 10)).astype(np.float32)
+    from loops_tpu.layout import CsrLayout
+    from loops_tpu.ops.kernels.spmm_flat import flat_spmm_pallas
+    from loops_tpu.schedule.plans import make_plan
+
+    plan = make_plan(CsrLayout.from_csr(csr), "merge_path", block_work=16)
+    # block_f=128 -> Fp=256? no: FT=min(128, roundup(10,128)=128) -> one
+    # tile; force two tiles via block_f=128 and F=200
+    B2 = rng.normal(size=(40, 200)).astype(np.float32)
+    bufs, fn = flat_spmm_pallas(csr, plan, block_f=128)
+    got = np.asarray(fn(bufs, B2))
+    want = csr.to_dense() @ B2
+    assert np.allclose(got, want, atol=1e-4, rtol=1e-4)
