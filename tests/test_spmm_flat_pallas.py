@@ -75,3 +75,25 @@ def test_flat_spmm_multiple_ftiles():
     got = np.asarray(fn(bufs, B2))
     want = csr.to_dense() @ B2
     assert np.allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_cut_plan_visits_every_atom_exactly_once():
+    """cut_at_rows must preserve the visit-exactly-once property and
+    keep every block's rows inside one stripe."""
+    from loops_tpu.layout import CsrLayout
+    from loops_tpu.schedule.plans import make_plan
+
+    csr = generate.random_csr(200, 100, 0.05, seed=12)
+    layout = CsrLayout.from_csr(csr)
+    plan = make_plan(layout, "merge_path", block_work=32)
+    ST = 48
+    cut = plan.cut_at_rows(ST)
+    seen = cut.atom_gather[cut.valid]
+    assert sorted(seen.tolist()) == list(range(csr.nnz))
+    ids = layout.atom_tile_ids()
+    for b in range(cut.num_blocks):
+        rows_b = ids[cut.atom_gather[b][cut.valid[b]]]
+        if len(rows_b):
+            assert rows_b.min() // ST == rows_b.max() // ST
+            assert (rows_b - cut.tile_starts[b] == cut.rel_tile[b][
+                cut.valid[b]]).all()
