@@ -68,9 +68,15 @@ class SpMVOperator:
     """
 
     def __init__(self, mat, schedule: str = "row_mapped",
-                 block: int = 512, impl: str = "xla"):
+                 block: int | None = None, impl: str = "xla"):
         import jax
 
+        if block is None:
+            # arch-keyed default (the reference's launch_box analog,
+            # util/launch_box.hxx:176-214): measured on v5e, block=1024
+            # beats 512/256 for the merge-path Pallas kernel
+            from loops_tpu.tuning.launch_box import launch_params
+            block = launch_params().spmv_block
         if schedule not in SCHEDULES and schedule != "auto":
             raise ValueError(
                 f"unknown schedule {schedule!r}; expected one of "
@@ -309,7 +315,7 @@ def _op_cache(mat) -> dict:
     return cache
 
 
-def spmv(mat, x, schedule: str = "row_mapped", block: int = 512,
+def spmv(mat, x, schedule: str = "row_mapped", block: int | None = None,
          impl: str = "xla"):
     """One-shot SpMV with operator caching on the container."""
     key = (schedule, block, impl)
