@@ -317,3 +317,19 @@ def test_make_train_epochs_matches_manual_loop():
     assert np.allclose(float(loss1), float(loss2), atol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_aggregate_operator_flat_pallas_matches_group_mapped():
+    import numpy as np
+
+    from loops_tpu.models.graph import Graph
+    from loops_tpu.models.message_passing import aggregate_operator
+    from loops_tpu.utils import generate
+
+    csr = generate.random_csr(50, 50, 0.12, seed=13)
+    g = Graph(csr)
+    h = np.random.default_rng(0).normal(size=(50, 16)).astype(np.float32)
+    base = np.asarray(aggregate_operator(g, custom_vjp=False)(h))
+    flat = np.asarray(aggregate_operator(
+        g, schedule="merge_path", impl="pallas", custom_vjp=False)(h))
+    assert np.allclose(flat, base, atol=1e-4, rtol=1e-4)
