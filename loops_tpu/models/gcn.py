@@ -43,12 +43,13 @@ class GCN:
 
     def __init__(self, graph: Graph, dims, dropout: float = 0.5,
                  schedule: str = "group_mapped", impl: str = "xla",
-                 remat: bool = False):
+                 remat: bool = False, dtype=None):
         self.dims = list(dims)
         self.dropout = dropout
         self.remat = remat
         self.propagate = aggregate_operator(graph, op="gcn",
-                                            schedule=schedule, impl=impl)
+                                            schedule=schedule, impl=impl,
+                                            dtype=dtype)
 
     def init(self, key):
         return init_gcn(key, self.dims)
