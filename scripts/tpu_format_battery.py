@@ -38,3 +38,31 @@ for mat, scheds in cases:
         fails += n > 0
         print(f"{name:5s} {sched:14s} {status}", flush=True)
 print("ALL OK" if fails == 0 else f"{fails} FAILURES", flush=True)
+
+# ---------------------------------------------------------------- SpMM
+from loops_tpu.ops import sddmm, spmm  # noqa: E402
+
+B = generate.make_input_vector(560 * 24).reshape(560, 24).astype(np.float32)
+C_ref = csr.to_dense() @ B
+for sched, impl, dt in [("row_mapped", "xla", None),
+                        ("group_mapped", "xla", None),
+                        ("merge_path", "pallas", None),
+                        ("merge_path", "pallas", "bfloat16")]:
+    C = np.asarray(spmm(csr, B, schedule=sched, impl=impl, dtype=dt))
+    tol = 0.05 if dt else 1e-3
+    n = int((np.abs(C - C_ref) > tol + tol * np.abs(C_ref)).sum())
+    status = "OK" if n == 0 else f"FAIL({n})"
+    fails += n > 0
+    print(f"SpMM  {sched:14s} {impl}/{dt}: {status}", flush=True)
+
+A2 = generate.make_input_vector(600 * 24).reshape(600, 24).astype(np.float32)
+dots_ref = np.einsum("ef,ef->e", A2[csr.row_ids()], B[csr.indices])
+dots_ref = csr.vals * dots_ref
+for dt in (None, "bfloat16"):
+    got = np.asarray(sddmm(csr, A2, B, dtype=dt))
+    tol = 0.2 if dt else 1e-3
+    n = int((np.abs(got - dots_ref) > tol + 0.05 * np.abs(dots_ref)).sum())
+    status = "OK" if n == 0 else f"FAIL({n})"
+    fails += n > 0
+    print(f"SDDMM dtype={dt}: {status}", flush=True)
+print("ALL OK" if fails == 0 else f"{fails} FAILURES", flush=True)
