@@ -39,9 +39,11 @@ _TABLE = (
     # v5p: 95 GB HBM2e @ ~2.8 TB/s
     ("v5p", LaunchParams(2048, 512, (8, 128), "bfloat16", 2765.0)),
     # v5e / v5 lite: 16 GB @ ~819 GB/s — smaller tiles keep VMEM headroom
-    # spmv_block=1024 measured best on the tunneled v5e (16.6 ms vs
-    # 17.7/18.6 at 512/256 for 32k^2 / 4.3M nnz merge-path Pallas)
-    ("v5 lite", LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0)),
+    # spmv_block sweep on the tunneled v5e (32k^2 / 4.3M nnz merge-path
+    # Pallas v2): 17.3/15.7/14.1/13.3/12.9/12.8 ms at
+    # 512/1024/2048/4096/8192/16384 — plateau at 8192 (the row-gather
+    # issue floor); v1 one-hot prefers <=1024 (cost grows with K*R)
+    ("v5 lite", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0)),
     ("v5litepod", LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0)),
     ("v5e", LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0)),
     # v4: 32 GB @ 1.2 TB/s
