@@ -15,7 +15,7 @@ class FakeDevice:
 
 def test_launch_params_first_match_wins():
     p = launch_params(FakeDevice("TPU v5 lite"))
-    assert p.spmv_block == 1024 and p.hbm_gbps == 819.0
+    assert p.spmv_block == 8192 and p.hbm_gbps == 819.0
     p = launch_params(FakeDevice("TPU v5p"))
     assert p.hbm_gbps > 2000
     p = launch_params(FakeDevice("TPU v4"))
