@@ -75,7 +75,15 @@ class ShardedCSR:
             a0, a1 = int(csr.offsets[r0]), int(csr.offsets[r1])
             nnzs.append(a1 - a0)
             cols = np.asarray(csr.indices[a0:a1])
-            uniq, local = np.unique(cols, return_inverse=True)
+            # native O(nnz + n_cols) rank-array remap (~10x np.unique's
+            # sort at papers100M scale); numpy fallback keeps semantics
+            from loops_tpu.native.convert import unique_remap
+            nat = unique_remap(np.ascontiguousarray(cols, np.int32),
+                               csr.shape[1])
+            if nat is not None:
+                uniq, local = nat
+            else:
+                uniq, local = np.unique(cols, return_inverse=True)
             np.save(f"{path}/offsets_{p}.npy",
                     (np.asarray(csr.offsets[r0:r1 + 1]) - a0
                      ).astype(INDEX_DTYPE))

@@ -51,7 +51,7 @@ class GAT:
 
     def __init__(self, graph: Graph, dims, heads: int = 4,
                  negative_slope: float = 0.2, fused: bool = True,
-                 dtype=None):
+                 dtype=None, vjp: bool = True):
         self.graph = graph.add_self_loops()
         self.dims = list(dims)
         self.heads = heads
@@ -66,7 +66,7 @@ class GAT:
         if fused:
             from loops_tpu.ops.attention import GroupedAttentionAggregate
             self._fused_op = GroupedAttentionAggregate(adj, negative_slope,
-                                                       dtype=dtype)
+                                                       dtype=dtype, grad=vjp)
 
     def init(self, key):
         return init_gat(key, self.dims, self.heads)
@@ -85,8 +85,9 @@ class GAT:
             s_src = jnp.einsum("nhd,hd->nh", hw, layer["a_src"])
             s_dst = jnp.einsum("nhd,hd->nh", hw, layer["a_dst"])
             if self.fused:
-                out = self._fused_op._fn(self._fused_op._bufs,
-                                         s_src, s_dst, hw)  # [N, H, D]
+                # custom-VJP apply: backward runs forward-style over
+                # the transposed plan (ops/attention.py _bwd_fn)
+                out = self._fused_op.apply(s_src, s_dst, hw)  # [N, H, D]
             else:
                 e = s_src[src] + s_dst[dst]                 # [E, H]
                 e = jax.nn.leaky_relu(e, self.negative_slope)

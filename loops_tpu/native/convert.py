@@ -55,3 +55,42 @@ def coo_to_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     if rc != 0:
         return None
     return offsets, out_cols, out_vals
+
+
+_remap_configured = False
+
+
+def _remap_fn():
+    global _remap_configured
+    lib = load_library()
+    if lib is None:
+        return None
+    try:
+        fn = lib.unique_remap_i32
+    except AttributeError:
+        return None
+    if not _remap_configured:
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i32p, i32p]
+        _remap_configured = True
+    return fn
+
+
+def unique_remap(cols: np.ndarray, n_cols: int):
+    """Sorted-unique + local-id remap: the O(nnz + n_cols) native analog
+    of ``np.unique(cols, return_inverse=True)``. Returns (uniq, local)
+    or None if the native library is unavailable / dtype mismatched."""
+    fn = _remap_fn()
+    if fn is None or cols.dtype != np.int32:
+        return None
+    cols = np.ascontiguousarray(cols)
+    nnz = len(cols)
+    local = np.empty(nnz, np.int32)
+    uniq = np.empty(min(nnz, int(n_cols)), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    k = fn(cols.ctypes.data_as(i32p), nnz, int(n_cols),
+           local.ctypes.data_as(i32p), uniq.ctypes.data_as(i32p))
+    if k < 0:
+        return None
+    return uniq[:k].copy(), local

@@ -25,6 +25,8 @@ SpMV/SpMM — this is the framework's thesis applied to attention.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from loops_tpu.formats import CSR
@@ -41,10 +43,14 @@ class GroupedAttentionAggregate:
     per-node per-head logit halves ([N, H]) and ``hw`` the transformed
     features ([N, H, D]); semantics match segment_softmax over incoming
     edges of each destination followed by the weighted segment_sum.
+
+    ``grad=True`` (default) installs a custom VJP that runs the whole
+    backward as one forward-style bucketed pass over the *transposed*
+    plan (see ``_bwd_fn``) instead of autodiff's scatter-of-gathers.
     """
 
     def __init__(self, adj: CSR, negative_slope: float = 0.2,
-                 dtype=None):
+                 dtype=None, grad: bool = True):
         import jax
 
         self.adj = adj
@@ -61,9 +67,78 @@ class GroupedAttentionAggregate:
              jnp.asarray(adj.indices[b["atom_slots"]]),
              jnp.asarray(b["valid"]))
             for b in plan.buckets])
-        self._jit = jax.jit(self._fn)
+        self._jit = jax.jit(functools.partial(self._fn, with_res=False))
+        if grad:
+            self._build_grad(adj, plan)
+            self._jit_res = jax.jit(
+                functools.partial(self._fn, with_res=True))
+            self._jit_bwd = jax.jit(self._bwd_fn)
 
-    def _fn(self, bufs, s_src, s_dst, hw):
+            @jax.custom_vjp
+            def apply(s_src, s_dst, hw):
+                return self._jit(self._bufs, s_src, s_dst, hw)
+
+            def fwd(s_src, s_dst, hw):
+                out, m_arr, den_arr = self._jit_res(
+                    self._bufs, s_src, s_dst, hw)
+                return out, (s_src, s_dst, hw, out, m_arr, den_arr)
+
+            def bwd(res, g):
+                return self._jit_bwd(self._bufs, *res, g)
+
+            apply.defvjp(fwd, bwd)
+            self.apply = apply
+        else:
+            self.apply = (lambda s_src, s_dst, hw:
+                          self._jit(self._bufs, s_src, s_dst, hw))
+
+    def _build_grad(self, adj: CSR, plan) -> None:
+        """Stage the transposed (src-grouped) plan + the fwd<->bwd edge
+        permutation the custom VJP needs.
+
+        The transposed adjacency A^T groups edges by *source* node; its
+        group_mapped plan drives the backward pass the same way the
+        forward plan drives the forward. ``perm`` tracks each transposed
+        edge's original edge id so per-edge quantities computed in
+        backward-plane layout can be re-read in forward-plane layout
+        (one flat-gather through ``fwd_maps``).
+        """
+        import jax.numpy as jnp
+
+        n_rows, n_cols = adj.shape
+        E = adj.nnz
+        dst = adj.row_ids()
+        src = np.asarray(adj.indices)
+        perm = np.argsort(src, kind="stable")
+        offsets_t = np.zeros(n_cols + 1, np.int64)
+        np.cumsum(np.bincount(src, minlength=n_cols), out=offsets_t[1:])
+        adj_t = CSR((n_cols, n_rows), offsets_t, dst[perm],
+                    np.asarray(adj.vals)[perm])
+        plan_t = make_plan(CsrLayout.from_csr(adj_t), "group_mapped")
+
+        inv = np.zeros(E, np.int64)   # orig edge id -> bwd flat slot
+        bwd_bufs, off = [], 0
+        for b in plan_t.buckets:
+            slots, valid = b["atom_slots"], b["valid"]
+            t, p = slots.shape
+            eid = perm[slots]
+            pos = off + np.arange(t * p).reshape(t, p)
+            inv[eid[valid]] = pos[valid]
+            off += t * p
+            bwd_bufs.append((jnp.asarray(b["tiles"]),
+                             jnp.asarray(adj_t.indices[slots]),
+                             jnp.asarray(valid)))
+        # invalid fwd slots point at an appended all-zero row (index off)
+        fwd_maps = [
+            jnp.asarray(np.where(b["valid"], inv[b["atom_slots"]], off)
+                        .astype(np.int32))
+            for b in plan.buckets]
+        # int32 flat-index limit: (padded_edges+1)*H must stay < 2^31
+        self._bwd_flat = off
+        self._bufs["bwd"] = bwd_bufs
+        self._bufs["fwd_maps"] = fwd_maps
+
+    def _fn(self, bufs, s_src, s_dst, hw, *, with_res: bool):
         import jax
         import jax.numpy as jnp
 
@@ -79,6 +154,11 @@ class GroupedAttentionAggregate:
         # XLA's per-element slow path on TPU
         out = jnp.zeros((n, H * D), hw.dtype)
         neg = jnp.asarray(-jnp.inf, s_src.dtype)
+        if with_res:
+            # residual row-softmax stats; init 0/1 (not -inf) so padded
+            # backward lanes reading untouched rows stay finite
+            m_arr = jnp.zeros((n, H), s_src.dtype)
+            den_arr = jnp.ones((n, H), s_src.dtype)
         for tiles, idx, valid in bufs["buckets"]:
             e = s_src[idx] + s_dst[tiles][:, None, :]     # [t, p, H]
             e = jax.nn.leaky_relu(e, slope)
@@ -93,10 +173,89 @@ class GroupedAttentionAggregate:
             agg = agg / jnp.maximum(denom, 1e-30)[..., None]
             out = out.at[tiles].set(agg.reshape(t, H * D),
                                     unique_indices=True)
-        return out.reshape(n, H, D)
+            if with_res:
+                m_arr = m_arr.at[tiles].set(m[:, 0, :],
+                                            unique_indices=True)
+                den_arr = den_arr.at[tiles].set(denom,
+                                                unique_indices=True)
+        out = out.reshape(n, H, D)
+        return (out, m_arr, den_arr) if with_res else out
+
+    def _bwd_fn(self, bufs, s_src, s_dst, hw, out, m_arr, den_arr, g):
+        """Backward as a forward-style pass over the transposed plan.
+
+        Key identities that keep it scatter-free and gather-light:
+
+        * the softmax correction ``c_r = sum_j alpha_j u_j`` (with
+          ``u_j = <g_r, f_j>``) collapses to ``c_r = <g_r, out_r>`` —
+          no per-edge work;
+        * in the transposed plane a row is one *source* node, so the
+          expensive feature operand ``hw[src]`` is row-constant (a
+          cheap unique-row gather) and the only wide gather is
+          ``g[dst]`` — exactly the forward's cost structure;
+        * ``dhw[src] = sum alpha*g[dst]`` and ``ds_src[src] = sum dpre``
+          are row-sums of the transposed plane (unique-row sets), while
+          ``ds_dst[dst] = sum dpre`` re-reads ``dpre`` through the edge
+          permutation into forward planes (one flat-gather per bucket).
+        """
+        import jax.numpy as jnp
+
+        from loops_tpu.ops.gather import gather1d
+
+        n, slope = self.n, self.negative_slope
+        H, D = hw.shape[1], hw.shape[2]
+        hw2 = hw.reshape(n, H * D)
+        g2 = g.reshape(n, H * D)
+        if self.dtype is not None:
+            hw2 = hw2.astype(self.dtype)
+            g2 = g2.astype(self.dtype)
+        c = jnp.einsum("nhd,nhd->nh", g, out)             # [N, H]
+        # one packed gather per plane row for all dst-indexed stats
+        R = jnp.concatenate([s_dst, m_arr, den_arr, c], axis=1)
+
+        dhw2 = jnp.zeros((n, H * D), hw.dtype)
+        ds_src = jnp.zeros_like(s_src)
+        parts = []
+        for tiles2, idx2, valid2 in bufs["bwd"]:
+            t2, p2 = idx2.shape
+            G = g2[idx2].reshape(t2, p2, H, D)
+            Rg = R[idx2]                                  # [t2, p2, 4H]
+            sdst2, m2 = Rg[..., :H], Rg[..., H:2 * H]
+            den2, c2 = Rg[..., 2 * H:3 * H], Rg[..., 3 * H:]
+            pre2 = s_src[tiles2][:, None, :] + sdst2
+            e2 = jnp.where(pre2 >= 0, pre2, slope * pre2)
+            alpha2 = jnp.exp(e2 - m2) / jnp.maximum(den2, 1e-30)
+            alpha2 = jnp.where(valid2[..., None], alpha2, 0.0)
+            f_t = hw2[tiles2].reshape(t2, H, D)
+            u2 = jnp.einsum("tphd,thd->tph", G, f_t,
+                            preferred_element_type=jnp.float32)
+            de2 = alpha2 * (u2 - c2)
+            dpre2 = de2 * jnp.where(pre2 >= 0, 1.0, slope)
+            dpre2 = jnp.where(valid2[..., None], dpre2, 0.0)
+            agg = jnp.einsum("tph,tphd->thd", alpha2.astype(G.dtype), G,
+                             preferred_element_type=jnp.float32)
+            dhw2 = dhw2.at[tiles2].set(
+                agg.reshape(t2, H * D).astype(hw.dtype),
+                unique_indices=True)
+            ds_src = ds_src.at[tiles2].set(dpre2.sum(axis=1),
+                                           unique_indices=True)
+            parts.append(dpre2.reshape(t2 * p2, H))
+        parts.append(jnp.zeros((1, H), jnp.float32))      # pad-slot row
+        dpre_flat = jnp.concatenate(parts, axis=0).reshape(-1)
+
+        ds_dst = jnp.zeros_like(s_dst)
+        ar = jnp.arange(H, dtype=jnp.int32)
+        for (tiles, _, _), mp in zip(bufs["buckets"], bufs["fwd_maps"]):
+            t, p = mp.shape
+            flat_idx = (mp[..., None] * H + ar).reshape(t, p * H)
+            vals = gather1d(dpre_flat, flat_idx).reshape(t, p, H)
+            ds_dst = ds_dst.at[tiles].set(vals.sum(axis=1),
+                                          unique_indices=True)
+        return (ds_src.astype(s_src.dtype), ds_dst.astype(s_dst.dtype),
+                dhw2.reshape(n, H, D))
 
     def __call__(self, s_src, s_dst, hw):
-        return self._jit(self._bufs, s_src, s_dst, hw)
+        return self.apply(s_src, s_dst, hw)
 
 
 def reference_attention_aggregate(adj: CSR, s_src, s_dst, hw,

@@ -81,3 +81,27 @@ def test_empty_rows_and_tiny_shards(tmp_path):
     got = StreamedSpMM(sharded)(X)
     want = csr.to_dense() @ X
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_native_unique_remap_matches_numpy():
+    from loops_tpu.native.convert import unique_remap
+
+    rng = np.random.default_rng(11)
+    cols = rng.integers(0, 5000, size=200_000).astype(np.int32)
+    got = unique_remap(cols, 5000)
+    if got is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    uniq, local = got
+    ref_u, ref_l = np.unique(cols, return_inverse=True)
+    assert np.array_equal(uniq, ref_u)
+    assert np.array_equal(local, ref_l)
+    # round-trip: uniq[local] reconstructs the input
+    assert np.array_equal(uniq[local], cols)
+
+
+def test_native_unique_remap_rejects_out_of_range():
+    from loops_tpu.native.convert import unique_remap
+
+    cols = np.array([1, 2, 99], np.int32)
+    assert unique_remap(cols, 10) is None
