@@ -46,8 +46,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
-                     dtype=None, interpret: bool | None = None):
-    """Build ``(bufs, fn(bufs, B))`` for CSR @ dense via a merge-path plan."""
+                     dtype=None, interpret: bool | None = None,
+                     pad_groups: int | None = None, pad_R: int | None = None):
+    """Build ``(bufs, fn(bufs, B))`` for CSR @ dense via a merge-path plan.
+
+    ``pad_groups``/``pad_R`` force the staged group count and the block
+    row-window height to at least the given values, so several CSRs of
+    the same padded shape can share ONE compiled ``fn`` with different
+    ``bufs`` (the out-of-core streaming contract, io/shards.py).
+    ``fn.meta`` records the realized ``dict(groups=..., R=...)``.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -67,14 +75,18 @@ def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
     local = r0 - stripe_of * ST
     base = (local // 8) * 8
     rel = plan.rel_tile + (local - base)[:, None]
-    R = _round_up(int(rel.max(initial=0)) + 1, 8)
-    # shift blocks whose window would poke past the stripe end
-    over = base + R - ST
-    shift = np.maximum(over, 0)
-    base = base - shift
-    rel = rel + shift[:, None]
-    R = _round_up(int(rel.max(initial=0)) + 1, 8)
-    assert R <= ST and (base >= 0).all()
+    # shift blocks whose window would poke past the stripe end; iterate
+    # to a fixpoint since shifting grows the needed window height
+    R = 8
+    for _ in range(4):
+        R = _round_up(max(int(rel.max(initial=0)) + 1, int(pad_R or 1)), 8)
+        shift = np.maximum(base + R - ST, 0)
+        if not shift.any():
+            break
+        base = base - shift
+        rel = rel + shift[:, None]
+    R = _round_up(max(int(rel.max(initial=0)) + 1, int(pad_R or 1)), 8)
+    assert R <= ST and (base >= 0).all() and (base + R <= ST).all()
 
     n_stripes = max(_round_up(rows, ST) // ST, 1)
     # group blocks by stripe, pad each stripe to GROUP, cover empty stripes
@@ -101,6 +113,18 @@ def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
         for gidx in range(cnt // GROUP):
             stripes_g.append(s)
             firsts.append(1 if gidx == 0 else 0)
+    # pad to a target group count with all-invalid groups (they add
+    # zeros to the last stripe) so differently-loaded CSRs of one padded
+    # shape can share a compiled executable
+    while pad_groups is not None and len(stripes_g) < pad_groups:
+        for _ in range(GROUP):
+            order.append(-1)
+            bases.append(0)
+            rels_l.append(np.zeros(K, np.int64))
+            gathers.append(np.zeros(K, np.int64))
+            valids.append(np.zeros(K, bool))
+        stripes_g.append(n_stripes - 1)
+        firsts.append(0)
     B = len(order)
     gathers = np.asarray(gathers)
     valids = np.asarray(valids)
@@ -175,4 +199,5 @@ def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
             interpret=interpret,
         )(b["s0"], b["stripe"], b["first"], products, b["rel"])
         return out[:rows, :F]
+    fn.meta = dict(groups=B // GROUP, R=R, n_stripes=n_stripes, ST=ST)
     return bufs, fn

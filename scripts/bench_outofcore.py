@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--feat", type=int, default=128)
     p.add_argument("--dir", default="/tmp/loops_tpu_shards")
+    p.add_argument("--schedule", default="row_mapped",
+                   choices=["row_mapped", "merge_path"])
+    p.add_argument("--dtype", default=None)
     args = p.parse_args(argv)
 
     from loops_tpu.io.shards import ShardedCSR, StreamedSpMM
@@ -92,12 +95,14 @@ def main(argv=None):
         f"{args.dir}/Y.npy", mode="w+", dtype=np.float32,
         shape=(csr.shape[0], args.feat))
     t0 = time.perf_counter()
-    op = StreamedSpMM(sharded)
+    op = StreamedSpMM(sharded, schedule=args.schedule, dtype=args.dtype)
+    setup = time.perf_counter() - t0
+    t0 = time.perf_counter()
     op(X, out=Y)
     dt = time.perf_counter() - t0
-    print(f"spmm:  streamed F={args.feat} in {dt:.1f}s "
-          f"({csr.nnz/dt/1e6:.1f} M edges/s incl. host gathers)",
-          flush=True)
+    print(f"spmm:  streamed {args.schedule} F={args.feat} in {dt:.1f}s "
+          f"({csr.nnz/dt/1e6:.1f} M edges/s incl. host gathers; "
+          f"setup {setup:.1f}s)", flush=True)
 
     # spot-check a row against the direct computation
     r = int(np.argmax(np.diff(csr.offsets)))  # heaviest row

@@ -1,4 +1,7 @@
 """Out-of-core sharded CSR: partition-then-plan + streaming SpMM."""
+import shutil
+import tempfile
+
 import numpy as np
 import pytest
 
@@ -105,3 +108,37 @@ def test_native_unique_remap_rejects_out_of_range():
 
     cols = np.array([1, 2, 99], np.int32)
     assert unique_remap(cols, 10) is None
+
+
+@pytest.mark.parametrize("dtype", [None, "bfloat16"])
+def test_streamed_spmm_merge_path_pallas(dtype):
+    """Flat Pallas kernel through the streamed out-of-core path: one
+    executable, every shard staged to the common padded shape."""
+    csr = generate.random_csr(300, 300, 0.03, seed=6)
+    d = tempfile.mkdtemp()
+    try:
+        st = ShardedCSR.build(csr, 5, d)
+        X = np.random.default_rng(1).normal(
+            size=(300, 48)).astype(np.float32)
+        sp = StreamedSpMM(st, schedule="merge_path", dtype=dtype)
+        out = sp(X)
+        ref = csr.to_dense() @ X
+        tol = 0.05 if dtype else 1e-4
+        assert np.allclose(out, ref, atol=tol, rtol=tol), (
+            np.abs(out - ref).max())
+    finally:
+        shutil.rmtree(d)
+
+
+def test_streamed_spmm_merge_path_skewed():
+    csr = generate.skewed_csr(200, 200, heavy_rows=4)
+    d = tempfile.mkdtemp()
+    try:
+        st = ShardedCSR.build(csr, 3, d)
+        X = np.random.default_rng(2).normal(
+            size=(200, 16)).astype(np.float32)
+        out = StreamedSpMM(st, schedule="merge_path")(X)
+        ref = csr.to_dense() @ X
+        assert np.allclose(out, ref, atol=1e-4, rtol=1e-4)
+    finally:
+        shutil.rmtree(d)
