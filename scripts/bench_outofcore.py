@@ -108,7 +108,9 @@ def main(argv=None):
     r = int(np.argmax(np.diff(csr.offsets)))  # heaviest row
     a0, a1 = csr.offsets[r], csr.offsets[r + 1]
     want = (csr.vals[a0:a1, None] * X[csr.indices[a0:a1]]).sum(axis=0)
-    ok = np.allclose(Y[r], want, atol=1e-2, rtol=1e-3)
+    # bf16 product rounding carries ~0.4% relative error per term
+    atol, rtol = (0.1, 2e-2) if args.dtype else (1e-2, 1e-3)
+    ok = np.allclose(Y[r], want, atol=atol, rtol=rtol)
     print(f"check: heaviest row ({a1-a0} nnz) {'OK' if ok else 'MISMATCH'}",
           flush=True)
     return 0 if ok else 1
