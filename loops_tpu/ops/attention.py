@@ -168,8 +168,11 @@ class GroupedAttentionAggregate:
             denom = z.sum(axis=1)                         # [t, H]
             t, p = idx.shape
             f = hw2[idx].reshape(t, p, H, D)              # [t, p, H, D]
-            agg = jnp.einsum("tph,tphd->thd", z.astype(f.dtype), f,
-                             preferred_element_type=jnp.float32)
+            # broadcast-mul + sum(axis=1) mirrors the group_mapped SpMM
+            # plane reduce (ops/spmm.py) — measured ~2x faster than the
+            # dot_general einsum lowering for this shape family
+            agg = (z.astype(f.dtype)[..., None] * f).astype(
+                jnp.float32).sum(axis=1)                  # [t, H, D]
             agg = agg / jnp.maximum(denom, 1e-30)[..., None]
             out = out.at[tiles].set(agg.reshape(t, H * D),
                                     unique_indices=True)
@@ -200,8 +203,6 @@ class GroupedAttentionAggregate:
         """
         import jax.numpy as jnp
 
-        from loops_tpu.ops.gather import gather1d
-
         n, slope = self.n, self.negative_slope
         H, D = hw.shape[1], hw.shape[2]
         hw2 = hw.reshape(n, H * D)
@@ -219,36 +220,44 @@ class GroupedAttentionAggregate:
         for tiles2, idx2, valid2 in bufs["bwd"]:
             t2, p2 = idx2.shape
             G = g2[idx2].reshape(t2, p2, H, D)
-            Rg = R[idx2]                                  # [t2, p2, 4H]
-            sdst2, m2 = Rg[..., :H], Rg[..., H:2 * H]
-            den2, c2 = Rg[..., 2 * H:3 * H], Rg[..., 3 * H:]
-            pre2 = s_src[tiles2][:, None, :] + sdst2
+            # plane math runs in [t, H, p] layout: with H=4 on the
+            # 128-lane axis every VPU op pays 32x lane waste (measured
+            # 84 ms for the [t,p,H]-output u2 einsum alone); the big
+            # [.., H, D] reduces mirror the group_mapped SpMM's
+            # broadcast-mul + axis-sum (ops/spmm.py) instead of
+            # dot_general
+            RgT = R[idx2].transpose(0, 2, 1)              # [t, 4H, p]
+            sdst2, m2 = RgT[:, :H], RgT[:, H:2 * H]
+            den2, c2 = RgT[:, 2 * H:3 * H], RgT[:, 3 * H:]
+            pre2 = s_src[tiles2][:, :, None] + sdst2      # [t, H, p]
             e2 = jnp.where(pre2 >= 0, pre2, slope * pre2)
             alpha2 = jnp.exp(e2 - m2) / jnp.maximum(den2, 1e-30)
-            alpha2 = jnp.where(valid2[..., None], alpha2, 0.0)
+            alpha2 = jnp.where(valid2[:, None, :], alpha2, 0.0)
             f_t = hw2[tiles2].reshape(t2, H, D)
-            u2 = jnp.einsum("tphd,thd->tph", G, f_t,
-                            preferred_element_type=jnp.float32)
+            u2 = (G * f_t[:, None, :, :]).astype(
+                jnp.float32).sum(axis=3)                  # [t, p, H]
+            u2 = u2.transpose(0, 2, 1)                    # [t, H, p]
             de2 = alpha2 * (u2 - c2)
             dpre2 = de2 * jnp.where(pre2 >= 0, 1.0, slope)
-            dpre2 = jnp.where(valid2[..., None], dpre2, 0.0)
-            agg = jnp.einsum("tph,tphd->thd", alpha2.astype(G.dtype), G,
-                             preferred_element_type=jnp.float32)
+            dpre2 = jnp.where(valid2[:, None, :], dpre2, 0.0)
+            a_ph = alpha2.transpose(0, 2, 1)              # [t, p, H]
+            agg = (a_ph.astype(G.dtype)[..., None] * G).astype(
+                jnp.float32).sum(axis=1)                  # [t, H, D]
             dhw2 = dhw2.at[tiles2].set(
                 agg.reshape(t2, H * D).astype(hw.dtype),
                 unique_indices=True)
-            ds_src = ds_src.at[tiles2].set(dpre2.sum(axis=1),
+            ds_src = ds_src.at[tiles2].set(dpre2.sum(axis=2),
                                            unique_indices=True)
-            parts.append(dpre2.reshape(t2 * p2, H))
+            parts.append(dpre2.transpose(0, 2, 1).reshape(t2 * p2, H))
         parts.append(jnp.zeros((1, H), jnp.float32))      # pad-slot row
-        dpre_flat = jnp.concatenate(parts, axis=0).reshape(-1)
+        dpre_flat = jnp.concatenate(parts, axis=0)        # [S_b+1, H]
 
         ds_dst = jnp.zeros_like(s_dst)
-        ar = jnp.arange(H, dtype=jnp.int32)
         for (tiles, _, _), mp in zip(bufs["buckets"], bufs["fwd_maps"]):
-            t, p = mp.shape
-            flat_idx = (mp[..., None] * H + ar).reshape(t, p * H)
-            vals = gather1d(dpre_flat, flat_idx).reshape(t, p, H)
+            # width-H row gather rides the TPU row-gather fast path
+            # (issue-bound like width-128; the flat one-hot trick is
+            # only for 1-wide gathers and costs H x the issues here)
+            vals = dpre_flat[mp]                          # [t, p, H]
             ds_dst = ds_dst.at[tiles].set(vals.sum(axis=1),
                                           unique_indices=True)
         return (ds_src.astype(s_src.dtype), ds_dst.astype(s_dst.dtype),

@@ -60,9 +60,14 @@ def main(argv=None):
     out, m_arr, den_arr = op._jit_res(bufs, s_src, s_dst, hw)
     out, m_arr, den_arr = map(jax.block_until_ready,
                               (out, m_arr, den_arr))
+    bufs = dict(bufs, _ss=s_src, _sd=s_dst, _hw=hw, _out=out,
+                _m=m_arr, _den=den_arr)
 
     def v_bwd_full(b, g_):
-        r = op._bwd_fn(b, s_src, s_dst, hw, out, m_arr, den_arr, g_)
+        # residuals ride in b (jit args) — closure constants would be
+        # inlined as HLO literals and overflow the remote compile RPC
+        r = op._bwd_fn(b, b["_ss"], b["_sd"], b["_hw"], b["_out"],
+                       b["_m"], b["_den"], g_)
         return sum(x.sum() for x in r)
 
     def v_bwd_G(b, g_):
@@ -110,8 +115,12 @@ def main(argv=None):
         return acc
 
     def v_fwd_res(b, g_):
-        o, m, d = op._fn(b, s_src, s_dst, hw, with_res=True)
-        return o.sum() + m.sum() + d.sum() + g_.sum() * 0.0
+        # perturb inputs by a g_-derived scalar so the body stays
+        # data-dependent on the loop carry (LICM guard)
+        eps = g_[0, 0, 0] * 0
+        o, m, d = op._fn(b, b["_ss"] + eps, b["_sd"], b["_hw"] + eps,
+                         with_res=True)
+        return o.sum() + m.sum() + d.sum()
 
     variants = [("bwd_full", v_bwd_full), ("bwd_G", v_bwd_G),
                 ("bwd_R", v_bwd_R), ("bwd_perm", v_bwd_perm),
