@@ -142,3 +142,33 @@ def test_gat_fused_grad_matches_textbook():
         assert np.allclose(np.asarray(a), np.asarray(b),
                            atol=5e-3, rtol=5e-3), (
             np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def test_grouped_attention_custom_vjp_bf16_close():
+    """bf16 feature-gather mode through the custom VJP: gradients close
+    to the f32 path (one bf16 rounding on products and grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    csr = generate.random_csr(40, 40, 0.15, seed=12)
+    dense = csr.to_dense() + np.eye(40, dtype=np.float32)
+    from loops_tpu.formats import COO
+    csr = COO.from_dense(dense).to_csr()
+    n, H, D = 40, 2, 8
+    rng = np.random.default_rng(3)
+    s_src = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
+    s_dst = jnp.asarray(rng.normal(size=(n, H)).astype(np.float32))
+    hw = jnp.asarray(rng.normal(size=(n, H, D)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(n, H, D)).astype(np.float32))
+
+    def loss(op):
+        return lambda ss, sd, f: jnp.vdot(op.apply(ss, sd, f), ct)
+
+    g32 = jax.grad(loss(GroupedAttentionAggregate(csr)),
+                   argnums=(0, 1, 2))(s_src, s_dst, hw)
+    gbf = jax.grad(loss(GroupedAttentionAggregate(csr, dtype="bfloat16")),
+                   argnums=(0, 1, 2))(s_src, s_dst, hw)
+    for a, b in zip(g32, gbf):
+        assert np.allclose(np.asarray(a), np.asarray(b),
+                           atol=0.08, rtol=0.08), (
+            np.abs(np.asarray(a) - np.asarray(b)).max())
