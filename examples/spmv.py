@@ -42,7 +42,8 @@ def main(argv=None):
                    choices=["row_mapped", "group_mapped", "work_oriented",
                             "merge_path"])
     p.add_argument("--format", default="csr",
-                   choices=["csr", "csc", "coo", "ell", "bcsr", "dia"])
+                   choices=["csr", "csc", "coo", "ell", "bcsr", "dia",
+                            "auto"])
     p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--validate", action="store_true")
@@ -56,6 +57,12 @@ def main(argv=None):
     else:
         csr = generate.random_csr(args.rows, args.cols, args.sparsity)
         dataset = "random"
+
+    if args.format == "auto":
+        from loops_tpu.formats import advise
+        adv = advise(csr)
+        args.format = adv.recommended
+        print(f"Advisor: {adv.recommended} — {adv.why}", file=sys.stderr)
 
     mat = {
         "csr": lambda: csr,

@@ -11,6 +11,11 @@ from loops_tpu.formats.csc import CSC  # noqa: F401
 from loops_tpu.formats.ell import ELL  # noqa: F401
 from loops_tpu.formats.bcsr import BCSR  # noqa: F401
 from loops_tpu.formats.dia import DIA  # noqa: F401
+from loops_tpu.formats.advisor import (  # noqa: F401
+    FormatAdvice,
+    advise,
+    choose_format,
+)
 from loops_tpu.formats.convert import (  # noqa: F401
     indices_to_offsets,
     offsets_to_indices,
