@@ -165,3 +165,31 @@ def test_native_coo_to_csr_fast_path_in_from_coo():
     np.testing.assert_array_equal(
         np.sort(np.asarray(coo.cols)[m]),
         csr.indices[csr.offsets[r]:csr.offsets[r + 1]])
+
+
+def test_save_load_round_trip(tmp_path):
+    """market.save output re-loads to the identical matrix (the writer is
+    beyond reference scope — the reference is loader-only)."""
+    from loops_tpu.io import market
+    from loops_tpu.utils.generate import random_csr
+
+    csr = random_csr(64, 48, sparsity=0.05, seed=7)
+    p = tmp_path / "rt.mtx"
+    market.save(p, csr, comment="round trip\ntwo lines")
+    back = market.load_csr(p)
+    assert back.shape == csr.shape and back.nnz == csr.nnz
+    np.testing.assert_array_equal(back.offsets, csr.offsets)
+    np.testing.assert_array_equal(back.indices, csr.indices)
+    np.testing.assert_allclose(back.vals, csr.vals, rtol=1e-6)
+
+
+def test_save_accepts_coo(tmp_path):
+    from loops_tpu.io import market
+    from loops_tpu.formats import COO
+
+    coo = COO((3, 3), [0, 2], [1, 0], [2.5, -1.0])
+    p = tmp_path / "coo.mtx"
+    market.save(p, coo)
+    got = market.load(p)
+    dense = got.to_dense()
+    assert dense[0, 1] == 2.5 and dense[2, 0] == -1.0
