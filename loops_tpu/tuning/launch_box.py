@@ -43,9 +43,11 @@ _TABLE = (
     # Pallas v2): 17.3/15.7/14.1/13.3/12.9/12.8 ms at
     # 512/1024/2048/4096/8192/16384 — plateau at 8192 (the row-gather
     # issue floor); v1 one-hot prefers <=1024 (cost grows with K*R)
+    # all three aliases name the same silicon (the tunneled chip reports
+    # device_kind "TPU v5 lite"); keep the rows identical
     ("v5 lite", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0)),
-    ("v5litepod", LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0)),
-    ("v5e", LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0)),
+    ("v5litepod", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0)),
+    ("v5e", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0)),
     # v4: 32 GB @ 1.2 TB/s
     ("v4", LaunchParams(1024, 256, (8, 128), "bfloat16", 1228.0)),
     # CPU test backend: tiny blocks so multi-block paths are exercised

@@ -53,6 +53,12 @@ def main(argv=None):
     out = argv[1] if len(argv) > 1 else os.path.join(log_dir, "sweep.png")
 
     runs = load_logs(log_dir)
+    # load_logs ingests every *.csv in the directory; restrict each run
+    # to the known schedules so stray logs (pallas/impl variants) can't
+    # break the win counts or the completeness check below.
+    runs = {ds: {s: v for s, v in r.items() if s in COLORS}
+            for ds, r in runs.items()}
+    runs = {ds: r for ds, r in runs.items() if r}
     if not runs:
         print(f"no sweep logs under {log_dir}")
         return 1
