@@ -39,6 +39,21 @@ def _segment_sum(data, ids, num_segments, sorted_ids=False):
                                indices_are_sorted=sorted_ids)
 
 
+def _pallas_f64_fallback(impl: str, vals_dtype) -> str:
+    """Pallas SpMM kernels stage f32 (or caller-requested bf16)
+    registers; f64 values fall back to the XLA path with a warning
+    instead of being silently downcast."""
+    import warnings
+
+    if impl.startswith("pallas") and np.dtype(vals_dtype) == np.float64:
+        warnings.warn(
+            f"impl={impl!r} stages float32 registers; falling back to "
+            "the XLA path for float64 values (pass float32 data to use "
+            "the Pallas kernel)", stacklevel=3)
+        return "xla"
+    return impl
+
+
 class SpMMOperator:
     """Compiled SpMM bound to one sparse matrix: ``op(B) -> C``."""
 
@@ -75,6 +90,12 @@ class SpMMOperator:
             # merge_path SpMM lowers to the same gather-segment XLA path
             schedule = self.schedule = (
                 "group_mapped" if pick == "group_mapped" else "row_mapped")
+        if impl != "xla" and not (schedule == "merge_path"
+                                  and impl == "pallas"):
+            raise ValueError(
+                "csr SpMM implements impl='pallas' only with "
+                f"schedule='merge_path'; got schedule={schedule!r}, "
+                f"impl={impl!r}")
         if schedule == "group_mapped":
             plan = make_plan(CsrLayout.from_csr(csr), "group_mapped")
             # Hub-dense hybrid: rows denser than ~1/16 of the columns
@@ -130,6 +151,8 @@ class SpMMOperator:
             return bufs, fn
 
         if schedule == "merge_path" and impl == "pallas":
+            impl = _pallas_f64_fallback(impl, csr.vals.dtype)
+        if schedule == "merge_path" and impl == "pallas":
             # the flat merge-path Pallas kernel needs the bounded-span
             # guarantee (<= K rows per block); work_oriented has
             # data-dependent spans and stays on the XLA path
@@ -160,6 +183,11 @@ class SpMMOperator:
     def _build_coo(self, coo: COO, schedule, impl):
         import jax.numpy as jnp
 
+        if schedule not in ("row_mapped", "auto") or impl != "xla":
+            raise ValueError(
+                "coo SpMM implements schedule='row_mapped' with "
+                f"impl='xla' only, got schedule={schedule!r}, "
+                f"impl={impl!r}")
         rows = self.rows
         sorted_rows = bool(np.all(np.diff(coo.rows) >= 0))
         bufs = dict(vals=jnp.asarray(coo.vals),
@@ -173,6 +201,11 @@ class SpMMOperator:
 
     # ------------------------------------------------------------- ELL
     def _build_ell(self, ell: ELL, schedule, impl):
+        if schedule not in ("row_mapped", "auto") or impl != "xla":
+            raise ValueError(
+                "ell SpMM implements schedule='row_mapped' with "
+                f"impl='xla' only, got schedule={schedule!r}, "
+                f"impl={impl!r}")
         rows = self.rows
         idx_plane, val_plane = ell.as_jax(pad_rows_to=1, pad_pitch_to=1)
         bufs = dict(idx=idx_plane, val=val_plane)
@@ -185,6 +218,7 @@ class SpMMOperator:
     def _build_bcsr(self, bcsr: BCSR, schedule, impl):
         import jax.numpy as jnp
 
+        impl = _pallas_f64_fallback(impl, bcsr.vals.dtype)
         if impl == "pallas":
             from loops_tpu.ops.kernels.spmm_bcsr import bcsr_spmm_pallas
             return bcsr_spmm_pallas(bcsr, block_f=self.block_f)
@@ -192,6 +226,14 @@ class SpMMOperator:
             from loops_tpu.ops.kernels.spmm_bcsr_v2 import bcsr_spmm_pallas_v2
             return bcsr_spmm_pallas_v2(bcsr, block_f=self.block_f,
                                        dtype=self.dtype)
+        if impl == "pallas3":
+            from loops_tpu.ops.kernels.spmm_bcsr_v3 import bcsr_spmm_pallas_v3
+            return bcsr_spmm_pallas_v3(bcsr, block_f=self.block_f,
+                                       dtype=self.dtype)
+        if impl != "xla":
+            raise ValueError(
+                f"bcsr SpMM implements impl in ('xla', 'pallas', "
+                f"'pallas2', 'pallas3'), got {impl!r}")
 
         rows = self.rows
         cols = self.cols

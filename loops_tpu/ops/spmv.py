@@ -54,6 +54,58 @@ def _segment_sum(data, ids, num_segments, sorted_ids=False):
                                indices_are_sorted=sorted_ids)
 
 
+# Pallas kernels stage f32 registers and bound the per-block row span;
+# inputs outside that envelope fall back to the XLA path with a warning
+# instead of silently downcasting (the reference compiles every kernel
+# x {float,double}, examples/spmv/CMakeLists.txt:28-56 — our f64 tier
+# is the XLA path).
+MAX_PALLAS_SPAN = 4096
+
+
+def _pallas_fallback(impl: str, vals_dtype, plan=None) -> str:
+    """Effective impl for a flat-schedule build: demote ``pallas*`` to
+    ``xla`` (with a warning) when the staged values are f64 or the
+    plan's 128-aligned row span exceeds the kernels' static bound."""
+    import warnings
+
+    if impl not in ("pallas", "pallas2"):
+        return impl
+    if np.dtype(vals_dtype) == np.float64:
+        warnings.warn(
+            f"impl={impl!r} stages float32 registers; falling back to the "
+            "XLA path for float64 values (pass float32 data to use the "
+            "Pallas kernel)", stacklevel=3)
+        return "xla"
+    if plan is not None:
+        r0 = plan.tile_starts[:-1].astype(np.int64)
+        rel = plan.rel_tile + (r0 % 128)[:, None]
+        span = -(-(int(rel.max(initial=0)) + 1) // 128) * 128
+        if span > MAX_PALLAS_SPAN:
+            warnings.warn(
+                f"plan row span {span} exceeds the Pallas kernels' static "
+                f"bound {MAX_PALLAS_SPAN} (data-dependent work_oriented "
+                "spans blow up on skewed matrices); falling back to the "
+                "XLA path — use schedule='merge_path', whose span is "
+                "bounded by the block size", stacklevel=3)
+            return "xla"
+    return impl
+
+
+def _require(fmt: str, schedule: str, impl: str, schedules: tuple,
+             impls: tuple):
+    """Restrict (schedule, impl) to combinations the format honors —
+    the API must not pretend to honor a knob it ignores."""
+    if schedule not in schedules:
+        raise ValueError(
+            f"{fmt} SpMV implements schedules {schedules}, got "
+            f"{schedule!r} (every {fmt} strategy funnels into one "
+            "execution shape; pick a supported name)")
+    if impl not in impls:
+        raise ValueError(
+            f"{fmt} SpMV (schedule={schedule!r}) implements impl "
+            f"{impls}, got {impl!r}")
+
+
 def _gather(x, idx):
     from loops_tpu.ops.gather import gather1d
     return gather1d(x, idx)
@@ -106,6 +158,7 @@ class SpMVOperator:
             schedule = self.schedule = choose_schedule(layout)
 
         if schedule == "row_mapped":
+            _require("csr", schedule, impl, SCHEDULES, ("xla",))
             plan = make_plan(layout, schedule)
             bufs = dict(vals=jnp.asarray(csr.vals),
                         cols=jnp.asarray(csr.indices),
@@ -117,6 +170,7 @@ class SpMVOperator:
             return bufs, fn
 
         if schedule == "group_mapped":
+            _require("csr", schedule, impl, SCHEDULES, ("xla",))
             plan = make_plan(layout, schedule)
             bufs = dict(buckets=[
                 (jnp.asarray(b["tiles"]),
@@ -133,10 +187,13 @@ class SpMVOperator:
             return bufs, fn
 
         # balanced flat schedules
+        _require("csr", schedule, impl, SCHEDULES,
+                 ("xla", "pallas", "pallas2"))
         plan = make_plan(layout, schedule,
                          **({"block_atoms": block}
                             if schedule == "work_oriented"
                             else {"block_work": block}))
+        impl = _pallas_fallback(impl, csr.vals.dtype, plan)
         if impl == "pallas":
             from loops_tpu.ops.kernels.spmv_flat import flat_spmv_pallas
             return flat_spmv_pallas(csr, plan)
@@ -155,6 +212,7 @@ class SpMVOperator:
 
         if schedule == "auto":
             schedule = self.schedule = "row_mapped"
+        _require("coo", schedule, impl, SCHEDULES, ("xla",))
         rows = self.rows
         sorted_rows = bool(np.all(np.diff(coo.rows) >= 0))
 
@@ -187,10 +245,14 @@ class SpMVOperator:
     def _build_csc(self, csc: CSC, schedule, block, impl):
         import jax.numpy as jnp
 
-        rows = self.rows
-        # tile = column; atoms scatter to arbitrary output rows, so every
-        # schedule funnels into the scatter reduction — same shape as the
+        if schedule == "auto":
+            schedule = self.schedule = "row_mapped"
+        # tile = column; atoms scatter to arbitrary output rows, so the
+        # only execution shape is the scatter reduction — same as the
         # reference's single csc kernel (spmv/csc_thread_mapped.cuh:37-87).
+        # Other schedule names would be silently ignored; reject them.
+        _require("csc", schedule, impl, ("row_mapped",), ("xla",))
+        rows = self.rows
         bufs = dict(vals=jnp.asarray(csc.vals),
                     out_rows=jnp.asarray(csc.indices),
                     col_of_atom=jnp.asarray(csc.col_ids()))
@@ -204,6 +266,7 @@ class SpMVOperator:
     def _build_ell(self, ell: ELL, schedule, block, impl):
         import jax.numpy as jnp
 
+        _require("ell", schedule, impl, SCHEDULES + ("auto",), ("xla",))
         rows = self.rows
         idx_plane, val_plane = ell.as_jax(pad_rows_to=1, pad_pitch_to=1)
 
@@ -236,6 +299,18 @@ class SpMVOperator:
     def _build_bcsr(self, bcsr: BCSR, schedule, block, impl):
         import jax.numpy as jnp
 
+        if schedule == "auto":
+            schedule = self.schedule = "row_mapped"
+        # atoms are stored blocks and the reduction is block-row-local,
+        # so there is one execution shape (the reference likewise ships
+        # only bcsr_thread_mapped); impl selects XLA einsum vs the
+        # register-accumulate Pallas kernel.
+        _require("bcsr", schedule, impl, ("row_mapped",),
+                 ("xla", "pallas"))
+        if impl == "pallas":
+            from loops_tpu.ops.kernels.spmv_bcsr import bcsr_spmv_pallas
+            return bcsr_spmv_pallas(bcsr)
+
         rows = self.rows
         R, C = bcsr.block_shape
         nbr = bcsr.num_block_rows
@@ -260,6 +335,11 @@ class SpMVOperator:
     def _build_dia(self, dia: DIA, schedule, block, impl):
         import jax.numpy as jnp
 
+        if schedule == "auto":
+            schedule = self.schedule = "row_mapped"
+        # one execution shape: the dense diagonal sweep (the reference
+        # likewise ships only dia_thread_mapped)
+        _require("dia", schedule, impl, ("row_mapped",), ("xla",))
         rows, cols = self.rows, self.cols
         offs = dia.diag_offsets.astype(np.int64)
         # per-diagonal column index of each row; clamped + masked
