@@ -4,14 +4,18 @@ The multi-chip tier the single-GPU reference never had (SURVEY.md §2
 scope statement; north star BASELINE.json): adjacency rows are
 edge-balance-partitioned across the ``graph`` mesh axis
 (parallel/graph_partition.py); features live sharded as stacked
-[P, rows_per_dev, F]; each step all-gathers the feature table over ICI
-and reduces locally — XLA overlaps the gather with the local compute.
-All collectives ride named mesh axes, so the same code runs on an
-8-device CPU test mesh and a v5p pod slice.
+[P, rows_per_dev, F]. The **default exchange is the overlapped targeted
+halo** (parallel/halo.py): per layer each chip ships only the boundary
+features its neighbors actually reference (O(P*H*F)) via all_to_all,
+overlapped with the interior reduction — the protocol that scales to
+papers100M-size graphs. ``exchange="all_gather"`` keeps the simple
+O(N*F)-per-chip mode as the oracle/debug path. All collectives ride
+named mesh axes, so the same code runs on an 8-device CPU test mesh and
+a v5p pod slice.
 
 Differentiable end-to-end: ``all_gather``'s transpose is
-``psum_scatter``, so ``jax.grad`` through a distributed GCN works out of
-the box.
+``psum_scatter`` and ``all_to_all`` transposes to the reverse
+``all_to_all``, so ``jax.grad`` works through both exchanges.
 """
 from __future__ import annotations
 
@@ -19,7 +23,7 @@ import numpy as np
 
 from loops_tpu.parallel.graph_partition import EdgePartition
 
-__all__ = ["DistSpMM", "DistGCN"]
+__all__ = ["DistSpMM", "DistGCN", "DistGraphSAGE"]
 
 
 class DistSpMM:
@@ -81,13 +85,84 @@ class DistSpMM:
         return self._fn(*self.buffers, jnp.asarray(h_stacked))
 
 
+def _build_propagate(plan, mesh, exchange: str, overlap: bool):
+    """Shared exchange-mode dispatch for the distributed models.
+
+    ``halo`` + ``overlap`` is the default and the scalable path: per
+    layer it moves only the boundary features (O(P*H*F), not O(N*F))
+    and overlaps the all_to_all with the interior reduction — the
+    pipeline the >=80% edges/s scaling target needs (BASELINE.json:5).
+    ``all_gather`` remains as the oracle/debug mode.
+    """
+    if exchange == "halo":
+        from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
+        return DistSpMMHalo(HaloPlan.build(plan), mesh, overlap=overlap)
+    if exchange == "all_gather":
+        return DistSpMM(plan, mesh)
+    raise ValueError(f"unknown exchange {exchange!r}")
+
+
+def _make_dist_train_step(model, optimizer, features, labels, train_mask):
+    """Shared distributed train-step factory (masked softmax
+    cross-entropy over stacked shards) for DistGCN / DistGraphSAGE —
+    the models differ only in ``apply``.
+
+    Returns ``step(params, opt_state) -> (params, opt_state, loss)``;
+    all graph/feature buffers are threaded through the jit as arguments
+    (never HLO constants)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    plan = model.plan
+    h0 = jnp.asarray(plan.pad_features(np.asarray(features)))
+    lab, msk = _stack_labels(plan, labels, train_mask)
+    bufs = dict(h0=h0, lab=lab, msk=msk, adj=model.propagate.buffers)
+
+    def loss_fn(params, b):
+        logits = model.apply(params, b["h0"], adj=b["adj"])  # [P, R, C]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, b["lab"][..., None], axis=-1)[..., 0]
+        return (nll * b["msk"]).sum() / jnp.maximum(b["msk"].sum(), 1.0)
+
+    @jax.jit
+    def _step(params, opt_state, b):
+        loss, grads = jax.value_and_grad(loss_fn)(params, b)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def step(params, opt_state):
+        return _step(params, opt_state, bufs)
+
+    return step
+
+
+def _stack_labels(plan, labels, train_mask):
+    """[N] labels/mask -> padded stacked [P, rows_per_dev] (vectorized —
+    no per-device Python loop, pod-scale P is fine)."""
+    import jax.numpy as jnp
+
+    labels = np.asarray(labels)
+    train_mask = np.asarray(train_mask)
+    starts = plan.row_starts[:-1].astype(np.int64)
+    counts = np.diff(plan.row_starts.astype(np.int64))
+    pos = np.arange(plan.rows_per_dev)[None, :]          # [1, R]
+    valid = pos < counts[:, None]                        # [P, R]
+    idx = np.minimum(starts[:, None] + pos, len(labels) - 1)
+    lab = np.where(valid, labels[idx], 0).astype(np.int32)
+    msk = np.where(valid, train_mask[idx], 0).astype(np.float32)
+    return jnp.asarray(lab), jnp.asarray(msk)
+
+
 class DistGCN:
     """Distributed GCN: per-layer ``A_hat (H W) + b`` with H row-sharded
     and W replicated. The GCN-normalized adjacency is partitioned once at
-    construction."""
+    construction. Default exchange is the overlapped targeted halo."""
 
     def __init__(self, graph, dims, mesh, num_devices: int | None = None,
-                 exchange: str = "all_gather"):
+                 exchange: str = "halo", overlap: bool = True):
         from loops_tpu.models.graph import Graph
 
         g = graph if isinstance(graph, Graph) else Graph(graph)
@@ -97,13 +172,8 @@ class DistGCN:
         self.plan = EdgePartition.build(norm.adj, P_)
         self.mesh = mesh
         self.dims = list(dims)
-        if exchange == "halo":
-            from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
-            self.propagate = DistSpMMHalo(HaloPlan.build(self.plan), mesh)
-        elif exchange == "all_gather":
-            self.propagate = DistSpMM(self.plan, mesh)
-        else:
-            raise ValueError(f"unknown exchange {exchange!r}")
+        self.propagate = _build_propagate(self.plan, mesh, exchange,
+                                          overlap)
 
     def init(self, key):
         from loops_tpu.models.gcn import init_gcn
@@ -124,54 +194,14 @@ class DistGCN:
                 h = jax.nn.relu(h)
         return h
 
-    @staticmethod
-    def _stack_labels(plan, labels, train_mask):
-        import jax.numpy as jnp
-
-        lab = np.zeros((plan.num_devices, plan.rows_per_dev), np.int32)
-        msk = np.zeros((plan.num_devices, plan.rows_per_dev), np.float32)
-        for p in range(plan.num_devices):
-            r0, r1 = plan.row_starts[p], plan.row_starts[p + 1]
-            lab[p, : r1 - r0] = labels[r0:r1]
-            msk[p, : r1 - r0] = train_mask[r0:r1]
-        return jnp.asarray(lab), jnp.asarray(msk)
+    # kept as a method for API compatibility; shared implementation
+    _stack_labels = staticmethod(_stack_labels)
 
     def make_train_step(self, optimizer, features, labels, train_mask):
-        """Distributed full-graph training step over stacked shards.
-
-        features [N, F0]; labels [N]; train_mask [N] — staged into padded
-        stacked form. Returns ``step(params, opt_state) -> (params,
-        opt_state, loss)``; all graph/feature buffers are threaded
-        through the jit as arguments (never HLO constants).
-        """
-        import jax
-        import jax.numpy as jnp
-        import optax
-
-        plan = self.plan
-        h0 = jnp.asarray(plan.pad_features(np.asarray(features)))
-        lab, msk = self._stack_labels(plan, labels, train_mask)
-        bufs = dict(h0=h0, lab=lab, msk=msk,
-                    adj=self.propagate.buffers)
-
-        def loss_fn(params, b):
-            logits = self.apply(params, b["h0"], adj=b["adj"])  # [P, R, C]
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(
-                logp, b["lab"][..., None], axis=-1)[..., 0]
-            return (nll * b["msk"]).sum() / jnp.maximum(b["msk"].sum(), 1.0)
-
-        @jax.jit
-        def _step(params, opt_state, b):
-            loss, grads = jax.value_and_grad(loss_fn)(params, b)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
-        def step(params, opt_state):
-            return _step(params, opt_state, bufs)
-
-        return step
+        """Distributed full-graph training step over stacked shards
+        (shared factory — see ``_make_dist_train_step``)."""
+        return _make_dist_train_step(self, optimizer, features, labels,
+                                     train_mask)
 
 
 class DistGraphSAGE:
@@ -179,7 +209,7 @@ class DistGraphSAGE:
     with the mean-normalized adjacency partitioned like DistGCN."""
 
     def __init__(self, graph, dims, mesh, num_devices: int | None = None,
-                 exchange: str = "all_gather"):
+                 exchange: str = "halo", overlap: bool = True):
         from loops_tpu.models.graph import Graph
 
         g = graph if isinstance(graph, Graph) else Graph(graph)
@@ -189,11 +219,8 @@ class DistGraphSAGE:
         self.plan = EdgePartition.build(norm.adj, P_)
         self.mesh = mesh
         self.dims = list(dims)
-        if exchange == "halo":
-            from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
-            self.propagate = DistSpMMHalo(HaloPlan.build(self.plan), mesh)
-        else:
-            self.propagate = DistSpMM(self.plan, mesh)
+        self.propagate = _build_propagate(self.plan, mesh, exchange,
+                                          overlap)
 
     def init(self, key):
         from loops_tpu.models.sage import init_sage
@@ -214,30 +241,6 @@ class DistGraphSAGE:
         return h
 
     def make_train_step(self, optimizer, features, labels, train_mask):
-        import jax
-        import jax.numpy as jnp
-        import optax
-
-        plan = self.plan
-        h0 = jnp.asarray(plan.pad_features(np.asarray(features)))
-        lab, msk = DistGCN._stack_labels(plan, labels, train_mask)
-        bufs = dict(h0=h0, lab=lab, msk=msk, adj=self.propagate.buffers)
-
-        def loss_fn(params, b):
-            logits = self.apply(params, b["h0"], adj=b["adj"])
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(
-                logp, b["lab"][..., None], axis=-1)[..., 0]
-            return (nll * b["msk"]).sum() / jnp.maximum(b["msk"].sum(), 1.0)
-
-        @jax.jit
-        def _step(params, opt_state, b):
-            loss, grads = jax.value_and_grad(loss_fn)(params, b)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
-        def step(params, opt_state):
-            return _step(params, opt_state, bufs)
-
-        return step
+        """Shared factory — see ``_make_dist_train_step``."""
+        return _make_dist_train_step(self, optimizer, features, labels,
+                                     train_mask)

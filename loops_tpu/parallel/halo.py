@@ -80,47 +80,53 @@ class HaloPlan:
 
     @classmethod
     def build(cls, part: EdgePartition) -> "HaloPlan":
+        """Vectorized plan build: one global sort instead of P^2 Python
+        loops with per-device np.unique — O(E log E) total, pod-scale
+        P (64-256) costs the same as P=8."""
         P = part.num_devices
         R = part.rows_per_dev
-        # need[p][q]: sorted global ids p needs from q (remote only)
-        need = [[None] * P for _ in range(P)]
-        H = 1
-        for p in range(P):
-            nnz = int(part.offsets[p, -1])
-            touched = np.unique(part.indices[p, :nnz])
-            owners = part.owner_of(touched)
-            for q in range(P):
-                ids = touched[(owners == q) & (q != p)]
-                need[p][q] = ids
-                H = max(H, len(ids))
+        N = int(part.num_nodes)
+
+        # flatten every device's live edges with their device id
+        nnzs = part.offsets[:, -1].astype(np.int64)            # [P]
+        dev = np.repeat(np.arange(P, dtype=np.int64), nnzs)
+        pos = np.arange(part.indices.shape[1], dtype=np.int64)
+        live = pos[None, :] < nnzs[:, None]                    # [P, E]
+        cols = part.indices[live].astype(np.int64)             # flat, by p
+        owners = part.owner_of(cols).astype(np.int64)
+        remote = owners != dev
+
+        # unique (device, global col) pairs among remote references,
+        # sorted by (p, col) -> per (p, owner) groups are contiguous
+        # because ownership ranges are contiguous in col
+        key = dev[remote] * N + cols[remote]
+        ukey, inv = np.unique(key, return_inverse=True)
+        up = ukey // N
+        ucol = ukey % N
+        uq = part.owner_of(ucol).astype(np.int64)
+
+        # group (p, q) boundaries and within-group slots
+        gkey = up * P + uq
+        new_group = np.r_[True, np.diff(gkey) != 0]
+        gstart = np.flatnonzero(new_group)
+        gid = np.cumsum(new_group) - 1
+        slot = np.arange(len(ukey)) - gstart[gid]
+        gsizes = np.diff(np.r_[gstart, len(ukey)])
+        H = max(int(gsizes.max(initial=1)), 1)
 
         send_idx = np.zeros((P, P, H), dtype=INDEX_DTYPE)
         send_valid = np.zeros((P, P, H), dtype=bool)
-        for p in range(P):
-            for q in range(P):
-                ids = need[p][q]
-                send_idx[q, p, : len(ids)] = ids - part.row_starts[q]
-                send_valid[q, p, : len(ids)] = True
+        send_idx[uq, up, slot] = ucol - part.row_starts[uq]
+        send_valid[uq, up, slot] = True
 
         # remap edge columns into [local | halo] space:
         #   local col c (owner p):            c - row_starts[p]
         #   remote col c (owner q, slot s):   R + q*H + s
+        out = np.where(remote, 0,
+                       cols - part.row_starts[owners]).astype(np.int64)
+        out[remote] = R + uq[inv] * H + slot[inv]
         indices_local = np.zeros_like(part.indices)
-        for p in range(P):
-            nnz = int(part.offsets[p, -1])
-            cols = part.indices[p, :nnz]
-            owners = part.owner_of(cols)
-            local = cols - part.row_starts[owners]
-            out = np.where(owners == p, local, 0).astype(np.int64)
-            for q in range(P):
-                if q == p:
-                    continue
-                m = owners == q
-                if not m.any():
-                    continue
-                slot = np.searchsorted(need[p][q], cols[m])
-                out[m] = R + q * H + slot
-            indices_local[p, :nnz] = out
+        indices_local[live] = out
         return cls(part, H, send_idx, send_valid, indices_local)
 
 
