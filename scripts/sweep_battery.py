@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""In-process schedule sweep over the synthetic battery — the
+heuristic-study driver (reference: scripts/run.sh + plots notebook).
+
+Why in-process: the reference's sweep shells one binary per (matrix,
+kernel) — fine on a local GPU, but on the tunneled TPU each process
+pays interpreter + runtime + compile startup (~15-30 s), making a
+450-combo sweep a multi-hour run. One process shares the runtime and
+uses a *dynamic-length* chained timer (``fori_loop`` with a traced
+bound: one compile, two measured lengths, slope cancels the ~25 ms
+dispatch RTT).
+
+Writes reference-format CSV logs (kernel,dataset,rows,cols,nnzs,
+elapsed_ms) per schedule into the output dir — consumable by
+scripts/summarize_sweep.py, scripts/plot_sweep.py and
+scripts/fit_heuristic.py.
+
+Implementation per schedule is the fastest measured one (what
+``schedule="auto"`` users actually get): XLA for row/group_mapped,
+the Pallas v2 flat kernel for work_oriented/merge_path (with its
+automatic XLA fallback on over-span plans).
+
+    python scripts/sweep_battery.py [out_dir] [--max-rows N] [--limit K]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from loops_tpu.utils.platform import ensure_platform  # noqa: E402
+
+ensure_platform()
+
+SCHED_IMPL = {
+    "row_mapped": "xla",
+    "group_mapped": "xla",
+    "work_oriented": "pallas2",
+    "merge_path": "pallas2",
+}
+
+
+def dyn_chain(fn):
+    """jit (bufs, x, n) -> fn^n(x) with a *traced* n: one compile."""
+    import jax
+
+    @jax.jit
+    def run(bufs, x, n):
+        return jax.lax.fori_loop(0, n, lambda i, a: fn(bufs, a), x)
+    return run
+
+
+def time_op(op, x, lo=3, hi=13, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    chain = dyn_chain(lambda b, v: op._jit(b, v))
+    x = jnp.asarray(x)
+
+    def t(n):
+        t0 = time.perf_counter()
+        jax.device_get(jnp.ravel(chain(op._bufs, x, n))[0])
+        return time.perf_counter() - t0
+
+    t(lo), t(hi)  # compile (one executable) + warm both paths
+    best = min((t(hi) - t(lo)) / (hi - lo) for _ in range(repeats))
+    return best * 1e3
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default="sweep_logs")
+    ap.add_argument("--max-rows", type=int, default=65536)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="only the first K matrices (smoke mode)")
+    ap.add_argument("--budget-s", type=float, default=0,
+                    help="stop cleanly after this many seconds")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from loops_tpu.ops.spmv import SpMVOperator
+    from loops_tpu.utils import battery
+    from loops_tpu.utils.generate import make_input_vector
+
+    os.makedirs(args.out, exist_ok=True)
+    mats = battery.battery(args.max_rows)
+    names = sorted(mats)
+    if args.limit:
+        names = names[: args.limit]
+
+    logs = {s: open(os.path.join(args.out, f"{s}.csv"), "a")
+            for s in SCHED_IMPL}
+    done_key = os.path.join(args.out, "done.txt")
+    done = set()
+    if os.path.exists(done_key):
+        done = set(open(done_key).read().split())
+
+    t_start = time.time()
+    for i, name in enumerate(names):
+        if name in done:
+            continue
+        if args.budget_s and time.time() - t_start > args.budget_s:
+            print(f"budget reached after {i} matrices", flush=True)
+            break
+        csr = mats[name]()
+        x = make_input_vector(csr.shape[1])
+        ref = None
+        row = f"{csr.shape[0]},{csr.shape[1]},{csr.nnz}"
+        for sched, impl in SCHED_IMPL.items():
+            t0 = time.time()
+            try:
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    op = SpMVOperator(csr, sched, impl=impl)
+                y = np.asarray(op._fn(x))
+                if ref is None:
+                    from loops_tpu.utils import reference
+                    ref = reference.spmv(csr, x)
+                err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-9)
+                if err > 1e-2:
+                    raise ValueError(f"mismatch {err:.2e}")
+                ms = time_op(op, x)
+                logs[sched].write(f"{sched},{name},{row},{ms:.5f}\n")
+                logs[sched].flush()
+                print(f"[{i+1}/{len(names)}] {name} {sched}: {ms:.4f} ms "
+                      f"(wall {time.time()-t0:.0f}s)", flush=True)
+            except Exception as e:
+                logs[sched].write(f"TIMEOUT,{name}\n")
+                logs[sched].flush()
+                print(f"[{i+1}/{len(names)}] {name} {sched}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+        with open(done_key, "a") as f:
+            f.write(name + "\n")
+    for f in logs.values():
+        f.close()
+    print(f"sweep done in {time.time()-t_start:.0f}s -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
