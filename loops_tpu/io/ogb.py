@@ -58,8 +58,8 @@ def _load_ogb_raw(path: str, name: str) -> NodeDataset:
                     return np.loadtxt(f, delimiter=",", dtype=dtype)
         raise FileNotFoundError(fname)
 
-    edges = read_csv("edge.csv", np.int64)
-    feats = read_csv("node-feat.csv", np.float32)
+    edges = np.atleast_2d(read_csv("edge.csv", np.int64))
+    feats = np.atleast_2d(read_csv("node-feat.csv", np.float32))
     labels = read_csv("node-label.csv", np.int64).reshape(-1)
     n = len(feats)
     g = Graph.from_edges(edges[:, 0], edges[:, 1], n, make_undirected=True)
