@@ -44,7 +44,8 @@ def main(argv=None):
     p.add_argument("--format", default="csr",
                    choices=["csr", "csc", "coo", "ell", "bcsr", "dia",
                             "auto"])
-    p.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--impl", default="xla",
+                   choices=["xla", "pallas", "pallas2"])
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--validate", action="store_true")
     p.add_argument("--rigorous", action="store_true")
@@ -72,6 +73,24 @@ def main(argv=None):
         "bcsr": lambda: BCSR.from_csr(csr, 8, 128),
         "dia": lambda: DIA.from_csr(csr),
     }[args.format]()
+
+    # single-strategy formats implement row_mapped only (the operator
+    # rejects knobs it would otherwise silently ignore); coerce the CLI
+    # default with a notice. bcsr keeps --impl (pallas = the
+    # register-accumulate kernel); csc/dia are XLA-only.
+    if args.format in ("csc", "dia", "bcsr"):
+        if args.schedule != "row_mapped":
+            print(f"note: {args.format} implements row_mapped only; "
+                  f"overriding --schedule {args.schedule}",
+                  file=sys.stderr)
+            args.schedule = "row_mapped"
+        if args.format != "bcsr" and args.impl != "xla":
+            print(f"note: {args.format} is XLA-only; overriding --impl",
+                  file=sys.stderr)
+            args.impl = "xla"
+    if args.format == "coo" and args.impl != "xla":
+        print("note: coo is XLA-only; overriding --impl", file=sys.stderr)
+        args.impl = "xla"
 
     x = generate.make_input_vector(csr.shape[1])
     y = np.asarray(spmv(mat, x, schedule=args.schedule, block=args.block,

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Re-derive ``choose_schedule`` thresholds from measured sweep logs.
+
+The reference's heuristic study (plots/data/heuristics.csv) measures
+how much of the best-of-3-schedules oracle a static heuristic captures.
+This script joins sweep_battery.py logs with each battery matrix's
+structural features (re-derived from the deterministic recipes — the
+matrices are never stored), grid-searches the three thresholds of
+``loops_tpu.schedule.plans.choose_schedule`` (skew ratio, coefficient
+of variation, small-tile cutoff), and reports:
+
+  * per-schedule geomean + win counts (the oracle mix),
+  * oracle speedup over the best fixed schedule,
+  * captured fraction of the oracle for the current and for the best
+    fitted thresholds.
+
+    python scripts/fit_heuristic.py sweep_logs/
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from summarize_sweep import load_logs  # noqa: E402
+
+SCHEDS = ("row_mapped", "group_mapped", "work_oriented", "merge_path")
+
+
+def features(csr):
+    sizes = np.diff(csr.offsets).astype(np.float64)
+    mean = max(float(sizes.mean()), 1e-9)
+    return dict(mean=mean, mx=float(sizes.max(initial=0)),
+                cv=float(sizes.std()) / mean,
+                rows=csr.shape[0], nnz=csr.nnz)
+
+
+def pick(feat, t_ratio, t_cv, t_small):
+    if feat["nnz"] == 0:
+        return "row_mapped"
+    if feat["mx"] / feat["mean"] > t_ratio or feat["cv"] > t_cv:
+        return "group_mapped"
+    if feat["mx"] <= t_small:
+        return "row_mapped"
+    return "merge_path"
+
+
+def geomean(v):
+    v = np.asarray(v, np.float64)
+    return float(np.exp(np.mean(np.log(np.maximum(v, 1e-12)))))
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    log_dir = argv[0] if argv else "sweep_logs"
+    runs = load_logs(log_dir)
+    runs = {ds: {s: v for s, v in r.items() if s in SCHEDS}
+            for ds, r in runs.items()}
+    runs = {ds: r for ds, r in runs.items() if len(r) == len(SCHEDS)}
+    if not runs:
+        print(f"no complete runs under {log_dir}")
+        return 1
+
+    from loops_tpu.utils import battery
+    feats = {}
+    for ds in list(runs):
+        try:
+            feats[ds] = features(battery.build(ds))
+        except KeyError:
+            del runs[ds]   # non-battery dataset (e.g. chesapeake)
+
+    names = sorted(runs)
+    print(f"{len(names)} matrices with complete schedule coverage\n")
+
+    # per-schedule geomeans + oracle mix
+    wins = {s: 0 for s in SCHEDS}
+    for r in runs.values():
+        wins[min(r, key=r.get)] += 1
+    print(f"{'schedule':16s}{'geomean ms':>12s}{'oracle wins':>13s}")
+    gms = {}
+    for s in SCHEDS:
+        gms[s] = geomean([runs[ds][s] for ds in names])
+        print(f"{s:16s}{gms[s]:12.4f}{wins[s]:13d}")
+    fixed = min(gms, key=gms.get)
+    oracle = geomean([min(runs[ds].values()) for ds in names])
+    print(f"\nbest fixed schedule: {fixed} ({gms[fixed]:.4f} ms geomean)")
+    print(f"oracle geomean:      {oracle:.4f} ms "
+          f"({gms[fixed]/oracle:.2f}x over fixed {fixed})")
+
+    def capture(t_ratio, t_cv, t_small):
+        chosen = [runs[ds][pick(feats[ds], t_ratio, t_cv, t_small)]
+                  for ds in names]
+        return oracle / geomean(chosen)   # 1.0 = matches oracle
+
+    cur = capture(8, 2.0, 4)
+    print(f"\ncurrent thresholds (ratio>8 | cv>2.0 -> group; mx<=4 -> row):"
+          f" capture {cur:.1%} of oracle")
+
+    best = (cur, (8, 2.0, 4))
+    for t_ratio in (2, 4, 8, 16, 32, 64, 1e18):
+        for t_cv in (0.5, 1.0, 2.0, 4.0, 8.0, 1e18):
+            for t_small in (0, 2, 4, 8, 16, 32):
+                c = capture(t_ratio, t_cv, t_small)
+                if c > best[0]:
+                    best = (c, (t_ratio, t_cv, t_small))
+    c, (tr, tc, ts) = best
+    print(f"fitted thresholds: ratio>{tr:g} | cv>{tc:g} -> group_mapped; "
+          f"mx<={ts:g} -> row_mapped; else merge_path")
+    print(f"fitted capture: {c:.1%} of oracle "
+          f"({oracle/ (oracle/c) :.4f} relative geomean)")
+
+    # per-structure-family winner table (for the docs)
+    fams = {}
+    for ds in names:
+        fam = ds.split("_")[0]
+        fams.setdefault(fam, []).append(ds)
+    print(f"\n{'family':10s}{'n':>4s}  winner mix")
+    for fam in sorted(fams):
+        w = {}
+        for ds in fams[fam]:
+            s = min(runs[ds], key=runs[ds].get)
+            w[s] = w.get(s, 0) + 1
+        mix = ", ".join(f"{s}:{k}" for s, k in
+                        sorted(w.items(), key=lambda kv: -kv[1]))
+        print(f"{fam:10s}{len(fams[fam]):4d}  {mix}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
