@@ -316,6 +316,37 @@ def main():
         log(f"# spmv sub-bench skipped: {type(e).__name__}: {e}")
 
     try:
+        # SDDMM bf16 operand mode on the arxiv-shaped regime (the GNN
+        # primitive pair's second half; round-1 measured 12.3 ms = the
+        # two-gather issue floor)
+        import jax
+
+        from loops_tpu.ops.sddmm import SDDMMOperator
+        from loops_tpu.utils.generate import random_csr
+
+        csr_s = random_csr(65536, 65536, 2.47e6 / 65536**2, seed=6)
+        F_s = 128
+        rng_s = np.random.default_rng(8)
+        Aop = SDDMMOperator(csr_s, dtype="bfloat16")
+        Xs = jnp.asarray(rng_s.normal(size=(65536, F_s))
+                         .astype(np.float32))
+        Ys = jnp.asarray(rng_s.normal(size=(65536, F_s))
+                         .astype(np.float32))
+
+        def sddmm_once(x):
+            v = Aop._jit(Aop._bufs, x, Ys)
+            return x + v[0] * 0  # keep shape-preserving chain
+
+        _ = np.asarray(Aop._jit(Aop._bufs, Xs, Ys))
+        m, md = slope_chain_ms(sddmm_once, Xs, lo=4, hi=24, repeats=3)
+        extras.append({"metric": "sddmm_bf16_ms", "value": round(m, 4),
+                       "unit": "ms", "nnz": int(csr_s.nnz), "F": F_s,
+                       "ms_median": round(md, 4)})
+        log(f"# sddmm bf16: {m:.3f} ms ({csr_s.nnz:,} nnz, F={F_s})")
+    except Exception as e:
+        log(f"# sddmm sub-bench skipped: {type(e).__name__}: {e}")
+
+    try:
         # GCN train step on the arxiv-shaped graph (full scale), the
         # round-1-documented 3-layer config through the canonical
         # training helper

@@ -88,7 +88,16 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     mats = battery.battery(args.max_rows)
-    names = sorted(mats)
+    # interleave structure families (round-robin over the name prefix)
+    # so a budget-limited partial sweep still spans every regime
+    fams = {}
+    for n in sorted(mats):
+        fams.setdefault(n.split("_")[0], []).append(n)
+    names = []
+    for i in range(max(len(v) for v in fams.values())):
+        for f in sorted(fams):
+            if i < len(fams[f]):
+                names.append(fams[f][i])
     if args.limit:
         names = names[: args.limit]
 
