@@ -316,6 +316,35 @@ def main():
         log(f"# spmv sub-bench skipped: {type(e).__name__}: {e}")
 
     try:
+        # flat merge-path CSR SpMM (the GNN aggregation kernel) on the
+        # arxiv-shaped regime, bf16 streaming mode (round-1: 12.5 ms /
+        # 198 M edges/s at F=128)
+        from loops_tpu.utils.generate import random_csr as _rc
+
+        csr_f = _rc(169343, 169343, 2.33e6 / 169343**2, seed=9)
+        Bf = jnp.asarray(np.random.default_rng(10)
+                         .normal(size=(169343, 128)).astype(np.float32))
+        op_f = SpMMOperator(csr_f, "merge_path", impl="pallas",
+                            dtype="bfloat16", block_f=128)
+
+        def spmm_flat_once(x):
+            out = op_f._jit(op_f._bufs, x)
+            return x + out[0, 0] * 0
+
+        _ = np.asarray(op_f._fn(Bf))
+        m, md = slope_chain_ms(spmm_flat_once, Bf, lo=4, hi=24,
+                               repeats=3)
+        eps = csr_f.nnz / (m * 1e-3) / 1e6
+        extras.append({"metric": "spmm_flat_csr_bf16_ms",
+                       "value": round(m, 4), "unit": "ms",
+                       "edges_per_s_M": round(eps, 1),
+                       "nnz": int(csr_f.nnz), "F": 128,
+                       "ms_median": round(md, 4)})
+        log(f"# flat csr spmm bf16: {m:.3f} ms ({eps:.0f} M edges/s)")
+    except Exception as e:
+        log(f"# flat spmm sub-bench skipped: {type(e).__name__}: {e}")
+
+    try:
         # SDDMM bf16 operand mode on the arxiv-shaped regime (the GNN
         # primitive pair's second half; round-1 measured 12.3 ms = the
         # two-gather issue floor)

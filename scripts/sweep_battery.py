@@ -44,16 +44,31 @@ SCHED_IMPL = {
 
 
 def dyn_chain(fn):
-    """jit (bufs, x, n) -> fn^n(x) with a *traced* n: one compile."""
+    """jit (bufs, x, n) -> fn^n(x) with a *traced* n: one compile.
+
+    Non-square operators (y shape != x shape, e.g. rectangular SpMV)
+    chain by re-injecting a scalar of the output into the input, which
+    preserves the data dependence the timing needs."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(bufs, x, n):
-        return jax.lax.fori_loop(0, n, lambda i, a: fn(bufs, a), x)
+        def body(i, a):
+            out = fn(bufs, a)
+            if out.shape == a.shape:
+                return out
+            return a + jnp.ravel(out)[0] * 0
+        return jax.lax.fori_loop(0, n, body, x)
     return run
 
 
-def time_op(op, x, lo=3, hi=13, repeats=3):
+def time_op(op, x, lo=4, repeats=3, target_delta_s=0.08):
+    """Adaptive slope timing: the dynamic fori bound means ONE compiled
+    executable serves every chain length, so the hi length is scaled
+    until the true work delta dwarfs the ~25 ms dispatch-RTT noise.
+    Min of each side (paired-delta minima are biased low — they
+    produced negative readings on sub-ms kernels)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,9 +80,12 @@ def time_op(op, x, lo=3, hi=13, repeats=3):
         jax.device_get(jnp.ravel(chain(op._bufs, x, n))[0])
         return time.perf_counter() - t0
 
-    t(lo), t(hi)  # compile (one executable) + warm both paths
-    best = min((t(hi) - t(lo)) / (hi - lo) for _ in range(repeats))
-    return best * 1e3
+    t(lo)                        # compile + warm
+    est = max((t(64) - t(lo)) / 60, 1e-6)
+    hi = min(lo + max(int(target_delta_s / est), 64), 100_000)
+    tlo = min(t(lo) for _ in range(repeats))
+    thi = min(t(hi) for _ in range(repeats))
+    return (thi - tlo) / (hi - lo) * 1e3
 
 
 def main(argv=None):
