@@ -235,7 +235,18 @@ class FlatBlockPlan:
         return plan
 
 
-def choose_schedule(layout: Layout) -> str:
+# choose_schedule decision thresholds. Fitted by scripts/fit_heuristic.py
+# against the on-chip sweep of the synthetic battery (sweep_logs/ —
+# scripts/sweep_battery.py); re-run the fitter after any kernel change
+# that shifts the schedule crossovers.
+HEURISTIC_THRESHOLDS = {
+    "ratio": 8.0,   # max_tile/mean_tile above which skew wins -> group
+    "cv": 2.0,      # coefficient of variation above which -> group
+    "small": 4.0,   # max tile size at or below which -> row_mapped
+}
+
+
+def choose_schedule(layout: Layout, thresholds: dict | None = None) -> str:
     """Heuristic schedule selection — the TPU analog of the reference's
     best-of-3 oracle study (plots/data/heuristics.csv: the right
     schedule per matrix beats any fixed one by ~2.7x geomean).
@@ -247,15 +258,16 @@ def choose_schedule(layout: Layout) -> str:
         already balanced; no plan overhead)
       * otherwise -> merge_path (bounded blocks, Pallas-friendly)
     """
+    t = thresholds or HEURISTIC_THRESHOLDS
     sizes = layout.tile_sizes()
     if layout.num_tiles == 0 or layout.num_atoms == 0:
         return "row_mapped"
     mean = max(float(sizes.mean()), 1e-9)
     mx = float(sizes.max())
     cv = float(sizes.std()) / mean
-    if mx / mean > 8 or cv > 2.0:
+    if mx / mean > t["ratio"] or cv > t["cv"]:
         return "group_mapped"
-    if mx <= 4:
+    if mx <= t["small"]:
         return "row_mapped"
     return "merge_path"
 

@@ -94,11 +94,13 @@ def main(argv=None):
                   for ds in names]
         return oracle / geomean(chosen)   # 1.0 = matches oracle
 
-    cur = capture(8, 2.0, 4)
-    print(f"\ncurrent thresholds (ratio>8 | cv>2.0 -> group; mx<=4 -> row):"
-          f" capture {cur:.1%} of oracle")
+    from loops_tpu.schedule.plans import HEURISTIC_THRESHOLDS as CUR
+    cur_t = (CUR["ratio"], CUR["cv"], CUR["small"])
+    cur = capture(*cur_t)
+    print(f"\ncurrent thresholds (ratio>{cur_t[0]:g} | cv>{cur_t[1]:g} -> "
+          f"group; mx<={cur_t[2]:g} -> row): capture {cur:.1%} of oracle")
 
-    best = (cur, (8, 2.0, 4))
+    best = (cur, cur_t)
     for t_ratio in (2, 4, 8, 16, 32, 64, 1e18):
         for t_cv in (0.5, 1.0, 2.0, 4.0, 8.0, 1e18):
             for t_small in (0, 2, 4, 8, 16, 32):
@@ -110,6 +112,22 @@ def main(argv=None):
           f"mx<={ts:g} -> row_mapped; else merge_path")
     print(f"fitted capture: {c:.1%} of oracle "
           f"({oracle/ (oracle/c) :.4f} relative geomean)")
+
+    # per-matrix artifact, the analog of the reference's
+    # plots/data/heuristics.csv (dataset, per-schedule elapsed, oracle
+    # kernel, heuristic kernel, heuristic speedup over best-fixed)
+    art = os.path.join(log_dir, "heuristics.csv")
+    with open(art, "w") as f:
+        f.write("dataset,rows,nnz," + ",".join(SCHEDS)
+                + ",oracle_kernel,heuristic_kernel,speedup_vs_fixed\n")
+        for ds in names:
+            r, ft = runs[ds], feats[ds]
+            okern = min(r, key=r.get)
+            hkern = pick(ft, tr, tc, ts)
+            f.write(f"{ds},{ft['rows']},{ft['nnz']},"
+                    + ",".join(f"{r[s]:.5f}" for s in SCHEDS)
+                    + f",{okern},{hkern},{r[fixed]/r[hkern]:.4f}\n")
+    print(f"\nwrote per-matrix artifact: {art}")
 
     # per-structure-family winner table (for the docs)
     fams = {}
