@@ -64,3 +64,15 @@ def test_fit_heuristic_runs_on_fake_logs(tmp_path, capsys):
     assert rc == 0
     assert "oracle geomean" in out
     assert "fitted capture" in out
+    # per-matrix artifact (the reference's heuristics.csv analog)
+    art = tmp_path / "heuristics.csv"
+    assert art.exists()
+    lines = art.read_text().strip().split("\n")
+    assert lines[0].startswith("dataset,rows,nnz,")
+    assert len(lines) == len(names) + 1
+    # oracle column matches the fake logs' construction
+    for ln in lines[1:]:
+        cells = ln.split(",")
+        expect = ("group_mapped" if cells[0].startswith("heavy")
+                  else "merge_path")
+        assert cells[3 + len(fit_heuristic.SCHEDS)] == expect
