@@ -24,9 +24,15 @@ def load_logs(d):
         sched = fname[:-4]
         for line in open(os.path.join(d, fname)):
             parts = line.strip().split(",")
-            if len(parts) < 6 or parts[0] == "TIMEOUT":
+            # col 0 echoes the schedule (= file stem) in every sweep log
+            # row; this skips TIMEOUT markers and foreign CSVs that later
+            # land in the dir (e.g. the fitter's heuristics.csv artifact)
+            if len(parts) < 6 or parts[0] != sched:
                 continue
-            runs[parts[1]][sched] = float(parts[5])
+            ms = float(parts[5])
+            if ms <= 0:     # slope-timing noise on a ~us kernel
+                continue
+            runs[parts[1]][sched] = ms
     return runs
 
 

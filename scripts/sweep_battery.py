@@ -83,9 +83,16 @@ def time_op(op, x, lo=4, repeats=3, target_delta_s=0.08):
     t(lo)                        # compile + warm
     est = max((t(64) - t(lo)) / 60, 1e-6)
     hi = min(lo + max(int(target_delta_s / est), 64), 100_000)
-    tlo = min(t(lo) for _ in range(repeats))
-    thi = min(t(hi) for _ in range(repeats))
-    return (thi - tlo) / (hi - lo) * 1e3
+    for _ in range(3):
+        tlo = min(t(lo) for _ in range(repeats))
+        thi = min(t(hi) for _ in range(repeats))
+        ms = (thi - tlo) / (hi - lo) * 1e3
+        if ms > 0:
+            return ms
+        # slope noise swallowed a ~us kernel: lengthen the chain so the
+        # true delta dwarfs the dispatch-RTT jitter and try again
+        hi = min(lo + (hi - lo) * 8, 400_000)
+    return ms
 
 
 def main(argv=None):
