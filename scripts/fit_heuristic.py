@@ -55,9 +55,12 @@ def geomean(v):
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     log_dir = argv[0] if argv else "sweep_logs"
-    runs = load_logs(log_dir)
+    raw = load_logs(log_dir)
+    # vendor baseline (jax.experimental.sparse via sweep_vendor.py) —
+    # the cuSPARSE-comparison analog of the reference's headline study
+    vendor = {ds: r["vendor"] for ds, r in raw.items() if "vendor" in r}
     runs = {ds: {s: v for s, v in r.items() if s in SCHEDS}
-            for ds, r in runs.items()}
+            for ds, r in raw.items()}
     runs = {ds: r for ds, r in runs.items() if len(r) == len(SCHEDS)}
     if not runs:
         print(f"no complete runs under {log_dir}")
@@ -113,20 +116,45 @@ def main(argv=None):
     print(f"fitted capture: {c:.1%} of oracle "
           f"({oracle/ (oracle/c) :.4f} relative geomean)")
 
+    # speedup vs the vendor sparse library (reference headline:
+    # best-of-schedules geomean 2.66x over cuSPARSE on >1x 99.0% of
+    # matrices — plots/data/heuristics.csv). TPU vendor = BCOO matvec.
+    vds = [ds for ds in names if ds in vendor]
+    if vds:
+        h_ms = {ds: runs[ds][pick(feats[ds], tr, tc, ts)] for ds in vds}
+        o_ms = {ds: min(runs[ds].values()) for ds in vds}
+        su_h = [vendor[ds] / h_ms[ds] for ds in vds]
+        su_o = [vendor[ds] / o_ms[ds] for ds in vds]
+        frac = sum(s > 1 for s in su_h) / len(vds)
+        print(f"\nvendor baseline (jax.experimental.sparse BCOO), "
+              f"{len(vds)} matrices:")
+        print(f"  vendor geomean:            "
+              f"{geomean([vendor[ds] for ds in vds]):.4f} ms")
+        print(f"  heuristic speedup vs vendor: geomean "
+              f"{geomean(su_h):.2f}x, median {np.median(su_h):.2f}x, "
+              f">1x on {frac:.1%}")
+        print(f"  oracle speedup vs vendor:    geomean "
+              f"{geomean(su_o):.2f}x")
+
     # per-matrix artifact, the analog of the reference's
     # plots/data/heuristics.csv (dataset, per-schedule elapsed, oracle
     # kernel, heuristic kernel, heuristic speedup over best-fixed)
     art = os.path.join(log_dir, "heuristics.csv")
     with open(art, "w") as f:
         f.write("dataset,rows,nnz," + ",".join(SCHEDS)
-                + ",oracle_kernel,heuristic_kernel,speedup_vs_fixed\n")
+                + ",oracle_kernel,heuristic_kernel,speedup_vs_fixed,"
+                "vendor_ms,speedup_vs_vendor\n")
         for ds in names:
             r, ft = runs[ds], feats[ds]
             okern = min(r, key=r.get)
             hkern = pick(ft, tr, tc, ts)
+            v = vendor.get(ds)
+            vcols = (f"{v:.5f},{v / r[hkern]:.4f}" if v is not None
+                     else ",")
             f.write(f"{ds},{ft['rows']},{ft['nnz']},"
                     + ",".join(f"{r[s]:.5f}" for s in SCHEDS)
-                    + f",{okern},{hkern},{r[fixed]/r[hkern]:.4f}\n")
+                    + f",{okern},{hkern},{r[fixed]/r[hkern]:.4f},"
+                    + vcols + "\n")
     print(f"\nwrote per-matrix artifact: {art}")
 
     # per-structure-family winner table (for the docs)

@@ -59,20 +59,29 @@ def test_fit_heuristic_runs_on_fake_logs(tmp_path, capsys):
                 else:
                     ms = 0.5 if sched == "merge_path" else base
                 f.write(f"{sched},{n},64,64,100,{ms}\n")
+    # vendor baseline rows for half the matrices, always 2x the oracle
+    with open(tmp_path / "vendor.csv", "w") as f:
+        for n in names[::2]:
+            f.write(f"vendor,{n},64,64,100,"
+                    f"{0.4 if n.startswith('heavy') else 1.0}\n")
     rc = fit_heuristic.main([str(tmp_path)])
     out = capsys.readouterr().out
     assert rc == 0
     assert "oracle geomean" in out
     assert "fitted capture" in out
+    assert "oracle speedup vs vendor:    geomean 2.00x" in out
     # per-matrix artifact (the reference's heuristics.csv analog)
     art = tmp_path / "heuristics.csv"
     assert art.exists()
     lines = art.read_text().strip().split("\n")
     assert lines[0].startswith("dataset,rows,nnz,")
     assert len(lines) == len(names) + 1
-    # oracle column matches the fake logs' construction
+    # oracle column matches the fake logs' construction; vendor column
+    # is populated exactly for the matrices given vendor rows
+    with_vendor = set(names[::2])
     for ln in lines[1:]:
         cells = ln.split(",")
         expect = ("group_mapped" if cells[0].startswith("heavy")
                   else "merge_path")
         assert cells[3 + len(fit_heuristic.SCHEDS)] == expect
+        assert bool(cells[-1]) == (cells[0] in with_vendor)
