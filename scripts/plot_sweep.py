@@ -5,10 +5,12 @@ PPoPP'23 paper) rendered with matplotlib from scripts/run.sh output.
 
     python scripts/plot_sweep.py sweep_logs/ [out.png]
 
-Three panels:
+Panels:
   1. per-schedule elapsed ECDFs (log-x) — the distribution view
   2. oracle (best-of-schedules) speedup over the best *fixed* schedule
   3. oracle schedule mix — how often each schedule wins
+  4. (when vendor.csv exists) best-of-schedules speedup vs the vendor
+     sparse library — the reference's headline cuSPARSE figure
 """
 from __future__ import annotations
 
@@ -52,12 +54,14 @@ def main(argv=None):
     log_dir = argv[0] if argv else "sweep_logs"
     out = argv[1] if len(argv) > 1 else os.path.join(log_dir, "sweep.png")
 
-    runs = load_logs(log_dir)
+    raw = load_logs(log_dir)
+    # vendor baseline rows (sweep_vendor.py) feed the 4th panel
+    vendor = {ds: r["vendor"] for ds, r in raw.items() if "vendor" in r}
     # load_logs ingests every *.csv in the directory; restrict each run
     # to the known schedules so stray logs (pallas/impl variants) can't
     # break the win counts or the completeness check below.
     runs = {ds: {s: v for s, v in r.items() if s in COLORS}
-            for ds, r in runs.items()}
+            for ds, r in raw.items()}
     runs = {ds: r for ds, r in runs.items() if r}
     if not runs:
         print(f"no sweep logs under {log_dir}")
@@ -68,7 +72,10 @@ def main(argv=None):
     import matplotlib.pyplot as plt
 
     scheds = [s for s in COLORS if any(s in r for r in runs.values())]
-    fig, axes = plt.subplots(1, 3, figsize=(12, 3.6), facecolor=SURFACE)
+    vds = sorted(ds for ds in vendor if ds in runs)
+    n_panels = 4 if vds else 3
+    fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 3.6),
+                             facecolor=SURFACE)
 
     # 1 — elapsed distributions
     ax = axes[0]
@@ -127,6 +134,26 @@ def main(argv=None):
                        fontsize=8)
     ax.set_ylabel("matrices won", color=MUTED, fontsize=9)
     ax.set_title("oracle schedule mix", color=INK, fontsize=10)
+
+    # 4 — best-of-schedules speedup vs the vendor sparse library (the
+    # reference's headline figure: best-of-3 vs cuSPARSE, geomean 2.66x)
+    if vds:
+        ax = axes[3]
+        _style(ax)
+        sp = [vendor[ds] / min(runs[ds].values()) for ds in vds]
+        x, y = _ecdf(sp)
+        ax.plot(x, y, color=INK, linewidth=2, drawstyle="steps-post")
+        gm = float(np.exp(np.mean(np.log(sp))))
+        ax.axvline(gm, color=MUTED, linewidth=1, linestyle="--")
+        ax.axvline(1.0, color=MUTED, linewidth=0.8, alpha=0.5)
+        ax.annotate(f"geomean {gm:.2f}x", (gm, 0.1), color=INK,
+                    fontsize=8, xytext=(4, 0), textcoords="offset points")
+        if max(sp) / max(min(sp), 1e-9) > 20:
+            ax.set_xscale("log")
+        ax.set_xlabel("speedup (x)", color=MUTED, fontsize=9)
+        ax.set_ylabel("fraction of matrices", color=MUTED, fontsize=9)
+        ax.set_title(f"best-of-schedules vs vendor BCOO (n={len(vds)})",
+                     color=INK, fontsize=10)
 
     fig.tight_layout()
     fig.savefig(out, dpi=150, facecolor=SURFACE)
