@@ -24,10 +24,13 @@ def load_logs(d):
         sched = fname[:-4]
         for line in open(os.path.join(d, fname)):
             parts = line.strip().split(",")
-            # col 0 echoes the schedule (= file stem) in every sweep log
-            # row; this skips TIMEOUT markers and foreign CSVs that later
-            # land in the dir (e.g. the fitter's heuristics.csv artifact)
-            if len(parts) < 6 or parts[0] != sched:
+            # col 0 echoes the schedule in every sweep log row — bare
+            # (sweep_battery.py) or format-prefixed (run.sh via
+            # examples/spmv.py prints "{format}_{schedule}"). Requiring
+            # the stem match skips TIMEOUT markers and foreign CSVs that
+            # later land in the dir (e.g. the fitter's heuristics.csv).
+            if len(parts) < 6 or not (
+                    parts[0] == sched or parts[0].endswith("_" + sched)):
                 continue
             ms = float(parts[5])
             if ms <= 0:     # slope-timing noise on a ~us kernel
