@@ -239,10 +239,18 @@ class FlatBlockPlan:
 # against the on-chip sweep of the synthetic battery (sweep_logs/ —
 # scripts/sweep_battery.py); re-run the fitter after any kernel change
 # that shifts the schedule crossovers.
+# Fitted from the on-chip 72-matrix schedule sweep (v5e, round 2;
+# scripts/sweep_battery.py + scripts/fit_heuristic.py, artifact
+# plots/data/heuristics.csv): captures 89.1% of the best-of-schedules
+# oracle geomean vs 79.0% for the previous hand-set values. The
+# measured oracle mix skews to group_mapped (44/72 wins), so the skew
+# gates fire early; uniform non-tiny tiles go to the flat schedule,
+# where work_oriented edges out merge_path on this hardware.
 HEURISTIC_THRESHOLDS = {
-    "ratio": 8.0,   # max_tile/mean_tile above which skew wins -> group
-    "cv": 2.0,      # coefficient of variation above which -> group
+    "ratio": 2.0,   # max_tile/mean_tile above which skew wins -> group
+    "cv": 0.5,      # coefficient of variation above which -> group
     "small": 4.0,   # max tile size at or below which -> row_mapped
+    "flat": "work_oriented",  # schedule for uniform non-tiny tiles
 }
 
 
@@ -256,7 +264,8 @@ def choose_schedule(layout: Layout, thresholds: dict | None = None) -> str:
         planes avoid both scatter and worst-row padding)
       * tiny/uniform tiles -> row_mapped (segmented reduction is
         already balanced; no plan overhead)
-      * otherwise -> merge_path (bounded blocks, Pallas-friendly)
+      * otherwise -> the flat schedule (bounded blocks, Pallas-
+        friendly); the sweep picked work_oriented over merge_path
     """
     t = thresholds or HEURISTIC_THRESHOLDS
     sizes = layout.tile_sizes()
@@ -269,7 +278,7 @@ def choose_schedule(layout: Layout, thresholds: dict | None = None) -> str:
         return "group_mapped"
     if mx <= t["small"]:
         return "row_mapped"
-    return "merge_path"
+    return t.get("flat", "merge_path")
 
 
 def make_plan(layout: Layout, schedule: str, **kw):
