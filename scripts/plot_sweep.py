@@ -140,7 +140,13 @@ def main(argv=None):
     if vds:
         ax = axes[3]
         _style(ax)
-        sp = [vendor[ds] / min(runs[ds].values()) for ds in vds]
+        # complete schedule coverage only, matching the fitter's
+        # complete-coverage metric: a partially-swept dataset's
+        # min-over-logged-schedules is biased low-N (ADVICE r2)
+        n_partial = sum(1 for ds in vds
+                        if len(runs[ds]) < len(scheds))
+        vds = [ds for ds in vds if len(runs[ds]) == len(scheds)]
+        sp = [vendor[ds] / min(runs[ds].values()) for ds in vds] or [1.0]
         x, y = _ecdf(sp)
         ax.plot(x, y, color=INK, linewidth=2, drawstyle="steps-post")
         gm = float(np.exp(np.mean(np.log(sp))))
@@ -152,8 +158,9 @@ def main(argv=None):
             ax.set_xscale("log")
         ax.set_xlabel("speedup (x)", color=MUTED, fontsize=9)
         ax.set_ylabel("fraction of matrices", color=MUTED, fontsize=9)
-        ax.set_title(f"best-of-schedules vs vendor BCOO (n={len(vds)})",
-                     color=INK, fontsize=10)
+        ax.set_title(f"best-of-schedules vs vendor BCOO "
+                     f"(n={len(vds)} complete, {n_partial} partial "
+                     f"excluded)", color=INK, fontsize=10)
 
     fig.tight_layout()
     fig.savefig(out, dpi=150, facecolor=SURFACE)

@@ -39,9 +39,20 @@ def load_logs(d):
     return runs
 
 
+SCHEDULES = ("row_mapped", "group_mapped", "work_oriented", "merge_path")
+
+
 def main(argv):
     d = argv[0] if argv else "sweep_logs"
-    runs = load_logs(d)
+    raw = load_logs(d)
+    # restrict to the known schedules: load_logs ingests every *.csv in
+    # the directory, so a vendor.csv baseline (sweep_vendor.py) or a
+    # stray impl-variant log would otherwise be counted as a schedule
+    # and corrupt the win counts / oracle geomean (ADVICE r2, medium)
+    vendor = {ds: r["vendor"] for ds, r in raw.items() if "vendor" in r}
+    runs = {ds: {s: v for s, v in r.items() if s in SCHEDULES}
+            for ds, r in raw.items()}
+    runs = {ds: r for ds, r in runs.items() if r}
     if not runs:
         print(f"no sweep logs under {d}")
         return 1
@@ -58,6 +69,17 @@ def main(argv):
         print(f"{s:16s} {gm:12.4f} {wins[s]:6d}")
     oracle = [min(r.values()) for r in runs.values() if r]
     print(f"\noracle geomean: {np.exp(np.mean(np.log(oracle))):.4f} ms")
+    if vendor:
+        # reported separately from the schedule table by design: the
+        # vendor baseline competes against the oracle, it is not a
+        # schedule of ours
+        both = [ds for ds in vendor if ds in runs]
+        if both:
+            sp = [vendor[ds] / min(runs[ds].values()) for ds in both]
+            gm = float(np.exp(np.mean(np.log(sp))))
+            print(f"vendor baseline: {len(vendor)} matrices; "
+                  f"best-of-schedules vs vendor geomean {gm:.2f}x "
+                  f"on {len(both)} joined")
     return 0
 
 

@@ -92,6 +92,11 @@ def time_op(op, x, lo=4, repeats=3, target_delta_s=0.08):
         # slope noise swallowed a ~us kernel: lengthen the chain so the
         # true delta dwarfs the dispatch-RTT jitter and try again
         hi = min(lo + (hi - lo) * 8, 400_000)
+    # retries exhausted: the non-positive slope the caller writes will
+    # be dropped by load_logs, silently removing this (matrix, schedule)
+    # pair from the fitter's complete-coverage set — make that visible
+    print(f"WARNING: slope timing non-positive after retries "
+          f"(ms={ms:.6f}); row will be dropped by load_logs", flush=True)
     return ms
 
 

@@ -85,7 +85,11 @@ def main(argv=None):
     if os.path.exists(log_path):
         for line in open(log_path):
             parts = line.split(",")
-            if len(parts) >= 2:
+            # only successful rows count as done: a TIMEOUT row's
+            # parts[1] is also the dataset name, and marking it done
+            # would permanently exclude a transiently-failing matrix
+            # from the baseline on every rerun (ADVICE r2)
+            if len(parts) >= 2 and parts[0] == "vendor":
                 done.add(parts[1])
 
     log = open(log_path, "a")
