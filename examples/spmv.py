@@ -45,7 +45,7 @@ def main(argv=None):
                    choices=["csr", "csc", "coo", "ell", "bcsr", "dia",
                             "auto"])
     p.add_argument("--impl", default="xla",
-                   choices=["xla", "pallas", "pallas2"])
+                   choices=["xla", "pallas", "pallas2", "pallas3"])
     p.add_argument("--block", type=int, default=512)
     p.add_argument("--validate", action="store_true")
     p.add_argument("--rigorous", action="store_true")

@@ -1,0 +1,370 @@
+"""Sorted-gather flat CSR SpMV — the Pallas kernel that beats the
+scalar-gather floor.
+
+The unstructured ``x[cols[nz]]`` gather is THE bottleneck of CSR SpMV
+on TPU: XLA lowers it to a per-index scalar path (~2.7 ns/elem
+measured, ops/gather.py), ~180x above the traffic model. TPU v5e has
+no general gather hardware, but Mosaic exposes two in-register
+shuffles (``tpu.dynamic_gather``): lanes within a 128-lane sublane row
+(``take_along_axis(.., axis=1)``) and sublanes within one 8-sublane
+VREG (``axis=0``). This kernel reduces SpMV to those two primitives
+plus host planning:
+
+1.  **Merge-path blocks** (reference analog: the diagonal split of
+    spmv/merge_path_flat.cuh:96-139), split further so no block spans
+    more than 896 rows (its output then fits one [8,128] row window
+    at a 128-aligned dynamic base) or crosses a y-stripe edge.
+2.  **Column-sort + span-bounded chunking** (host): the block's atoms,
+    sorted by column, are cut into VREG *chunks* of <= 1024 atoms
+    covering <= SPAN source sublanes of x, where SPAN is a per-matrix
+    static constant (~1.2x the expected span at the matrix's density).
+    The gather is then a **statically unrolled** touch loop: for each
+    of SPAN source sublanes, broadcast that x row, lane-shuffle it by
+    ``col % 128``, select where ``col // 128`` matches — ~4 VPU ops
+    per touch, amortized over the chunk's 1024 atoms. (A dynamic
+    trip-count loop measured ~90 cycles/iteration — Mosaic cannot
+    software-pipeline it — so spans are equalized at plan time
+    instead.)
+3.  **Benes unpermute** to group-local CSR order: any static [R,128]
+    permutation factors into lane/sublane/lane dynamic_gather stages
+    (Konig edge coloring, native/src/benes_route.cpp) — O(1)/element.
+4.  **Segmented-scan reduction**: a flat segmented prefix sum resets
+    at staged row starts, so each row's last atom holds the exact
+    sequential f32 sum of the row's atoms in this group — the same
+    rounding profile as the host reference (a plain cumsum-difference
+    leaks cancellation error proportional to the block prefix, which
+    the Wilkinson validator rightly flags). Row-end values are
+    extracted by a monotonic touch loop into the block's [8,128] row
+    window and accumulated onto the stripe-resident y — the
+    reference's atomicAdd seams (work_oriented.cuh:55-88) become
+    deterministic ``+=`` under the sequential grid.
+
+Cost model (uniform random 32768^2, 4.39M nnz, 8 chunks/group): ~0.3
+VPU ops per atom + ~26 B/atom metadata traffic.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+LANES = 128
+ROW_WINDOW = 1024           # rows per output window ([8,128] slots)
+ROW_SPAN = ROW_WINDOW - LANES   # max block row span (window base is
+                                # only 128-aligned)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
+                       span: int | None = None, span_cap: int = 768,
+                       stripe_rows: int = 32768, pad_cap: float = 4.0,
+                       x_sublanes_cap: int = 8192,
+                       interpret: bool | None = None):
+    """Build ``(bufs, fn)`` for CSR @ vector via the sorted-gather plan.
+
+    Raises ``ValueError`` when the matrix is outside the kernel's
+    envelope (needed chunk span above ``span_cap``, chunk padding above
+    ``pad_cap``, or x larger than ``x_sublanes_cap`` VMEM sublanes) —
+    callers fall back to the XLA path.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from loops_tpu.native.routes import benes_route
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    rows, cols_n = csr.shape
+    N = int(csr.nnz)
+    VB = int(vregs_per_block)
+    K = VB * 8 * LANES          # atoms per group
+    SUB = VB * 8
+    Csub = max(_round_up(cols_n, LANES) // LANES, 1)
+    if Csub > x_sublanes_cap:
+        raise ValueError(
+            f"x needs {Csub} VMEM sublanes > cap {x_sublanes_cap}; "
+            "matrix too wide for the resident-x sorted-gather kernel")
+
+    offsets = csr.offsets.astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    vals = csr.vals.astype(np.float32)
+    if N == 0:
+        bufs = dict(_empty=jnp.zeros((1,), jnp.float32))
+
+        def fn(b, x):
+            return jnp.zeros(rows, jnp.float32)
+        fn.meta = dict(num_groups=0, span=0)
+        return bufs, fn
+
+    rid = np.repeat(np.arange(rows, dtype=np.int64), np.diff(offsets))
+
+    # ---- block cuts: merge-path atoms, K-cap, row-span + stripe ----
+    ST = max(ROW_WINDOW, min(int(stripe_rows),
+                             _round_up(rows, ROW_WINDOW)))
+    ST = _round_up(ST, ROW_WINDOW)
+    if plan is not None:
+        cuts = plan.atom_starts.astype(np.int64)
+    else:
+        cuts = np.arange(0, N + K, K, dtype=np.int64)
+    st_bounds = np.arange(ST, rows, ST, dtype=np.int64)
+    cuts = np.unique(np.concatenate([cuts, offsets[st_bounds], [0, N]]))
+    cuts = cuts[cuts <= N]
+    extra = [np.arange(a, b, K, dtype=np.int64)
+             for a, b in zip(cuts[:-1], cuts[1:]) if b - a > K]
+    if extra:
+        cuts = np.unique(np.concatenate([cuts, *extra]))
+    for _ in range(64):  # split row spans > ROW_SPAN (terminates: each
+        r0 = rid[cuts[:-1]]                  # new cut strictly interior
+        r1 = rid[cuts[1:] - 1]
+        bad = np.nonzero(r1 - r0 > ROW_SPAN)[0]
+        if not len(bad):
+            break
+        cuts = np.unique(np.concatenate(
+            [cuts, offsets[r0[bad] + ROW_SPAN]]))
+
+    # ---- static chunk span ----
+    if span is None:
+        span = _round_up(int(1.2 * 1024 * Csub / min(K, N) ) + 8, 4)
+        span = max(8, min(span, span_cap))
+    SPAN = int(span)
+
+    # ---- per block: column sort + greedy span-bounded chunks ----
+    chunks = []          # (block_id, sorted_atom_ids[<=1024], base)
+    blk_first_rid = rid[cuts[:-1]]
+    for b in range(len(cuts) - 1):
+        s, e = int(cuts[b]), int(cuts[b + 1])
+        a_idx = np.arange(s, e, dtype=np.int64)
+        ordloc = np.argsort(cols[a_idx], kind="stable")
+        satoms = a_idx[ordloc]
+        h = cols[satoms] >> 7
+        st = 0
+        n = e - s
+        while st < n:
+            b0 = int(h[st])
+            end = min(st + 1024, n,
+                      int(np.searchsorted(h, b0 + SPAN, side="left")))
+            chunks.append((b, satoms[st:end], b0))
+            st = end
+    # group chunks (VB per group, never across blocks)
+    groups = []          # list of lists of chunk indices
+    cur, cur_blk = [], -1
+    for ci, (b, _, _) in enumerate(chunks):
+        if b != cur_blk or len(cur) == VB:
+            if cur:
+                groups.append(cur)
+            cur, cur_blk = [], b
+        cur.append(ci)
+    if cur:
+        groups.append(cur)
+    ng = len(groups)
+    # ratio cap only matters at scale: a tiny matrix's padded plan is
+    # absolutely cheap even at a large relative blow-up
+    if ng * K > pad_cap * N and ng * K > 1 << 20:
+        raise ValueError(
+            f"chunk padding {ng * K / N:.1f}x exceeds pad_cap "
+            f"{pad_cap}; matrix too column-scattered at SPAN={SPAN}")
+
+    # ---- per-group staging ----
+    vals_s = np.zeros((ng, VB, 1024), np.float32)
+    hi_s = np.full((ng, VB, 1024), Csub, np.int32)   # sentinel: no touch
+    lo_s = np.zeros((ng, VB, 1024), np.int32)
+    vbase = np.zeros((ng, VB), np.int32)
+    dest = np.zeros((ng, K), np.int32)
+    flag_s = np.ones((ng, SUB, LANES), np.float32)
+    qrow = np.full((ng, 8, LANES), -1, np.int32)
+    qlo = np.zeros((ng, 8, LANES), np.int32)
+    ybase = np.zeros(ng, np.int32)
+    stripe_g = np.zeros(ng, np.int32)
+
+    for g, chunk_ids in enumerate(groups):
+        blk = chunks[chunk_ids[0]][0]
+        src = np.full(K, -1, np.int64)
+        for j, ci in enumerate(chunk_ids):
+            _, satoms, b0 = chunks[ci]
+            m = len(satoms)
+            vals_s[g, j, :m] = vals[satoms]
+            hi_s[g, j, :m] = cols[satoms] >> 7
+            lo_s[g, j, :m] = cols[satoms] & 127
+            vbase[g, j] = b0
+            src[j * 1024:j * 1024 + m] = satoms
+        # group-CSR ranking: real atoms by ascending atom id, pads last
+        key = np.where(src >= 0, src, np.iinfo(np.int64).max)
+        order = np.argsort(key, kind="stable")
+        dest[g, order] = np.arange(K, dtype=np.int32)
+        ga = src[order]                       # CSR-ordered atom ids
+        n_real = int((ga >= 0).sum())
+        gr = rid[ga[:n_real]]
+        # segment starts where the row changes
+        fl = np.ones(K, np.float32)
+        if n_real > 1:
+            fl[1:n_real] = (gr[1:] != gr[:-1]).astype(np.float32)
+        flag_s[g] = fl.reshape(SUB, LANES)
+        # output window: 128-aligned base, clamped inside the stripe
+        first = int(blk_first_rid[blk])
+        stripe = first // ST
+        base = (first // LANES) * LANES
+        base = min(base, stripe * ST + ST - ROW_WINDOW)
+        base = max(base, stripe * ST)
+        rel = gr - base
+        ends = np.flatnonzero(np.diff(gr))
+        qp = np.full(ROW_WINDOW, -1, np.int64)
+        qp[rel[ends]] = ends
+        qp[rel[n_real - 1]] = n_real - 1
+        qrow[g] = np.where(qp >= 0, qp >> 7, -1).reshape(8, LANES)
+        qlo[g] = np.where(qp >= 0, qp & 127, 0).reshape(8, LANES)
+        ybase[g] = (base - stripe * ST) // LANES
+        stripe_g[g] = stripe
+
+    n_stripes = max(int(stripe_g.max()) + 1, _round_up(rows, ST) // ST)
+    firsts = np.zeros(ng, np.int32)
+    firsts[np.unique(stripe_g, return_index=True)[1]] = 1
+
+    s1, s2, s3 = benes_route(dest)
+
+    bufs = dict(
+        vals=jnp.asarray(vals_s.reshape(ng * SUB, LANES)),
+        hi=jnp.asarray(hi_s.reshape(ng * SUB, LANES)),
+        lo=jnp.asarray(lo_s.reshape(ng * SUB, LANES)),
+        s1=jnp.asarray(s1.reshape(ng * SUB, LANES)),
+        s2=jnp.asarray(s2.reshape(ng * SUB, LANES)),
+        s3=jnp.asarray(s3.reshape(ng * SUB, LANES)),
+        qrow=jnp.asarray(qrow.reshape(ng * 8, LANES)),
+        qlo=jnp.asarray(qlo.reshape(ng * 8, LANES)),
+        flag=jnp.asarray(flag_s.reshape(ng * SUB, LANES)),
+        vbase=jnp.asarray(vbase.reshape(-1)),
+        stripe=jnp.asarray(stripe_g),
+        first=jnp.asarray(firsts),
+        ybase=jnp.asarray(ybase),
+    )
+
+    def kernel(vbase_r, stripe_r, first_r, ybase_r, x_r, vals_r, hi_r,
+               lo_r, s1_r, s2_r, s3_r, qrow_r, qlo_r, flag_r, y_r,
+               S_scr):
+        g = pl.program_id(0)
+
+        @pl.when(first_r[g] == 1)
+        def _():
+            y_r[:] = jnp.zeros_like(y_r)
+
+        hi_t = hi_r[:]
+        lo_t = lo_r[:]
+        vals_t = vals_r[:]
+
+        # --- statically unrolled touch-loop gather (sorted order) ---
+        zs = []
+        for v in range(VB):
+            hv = hi_t[8 * v:8 * v + 8]
+            lv = lo_t[8 * v:8 * v + 8]
+            base = vbase_r[g * VB + v]
+            acc = jnp.zeros((8, LANES), jnp.float32)
+            for k in range(SPAN):
+                srow = jnp.minimum(base + k, Csub - 1)
+                rowx = x_r[pl.ds(srow, 1), :]
+                lg = jnp.take_along_axis(
+                    jnp.broadcast_to(rowx, (8, LANES)), lv, axis=1)
+                acc = jnp.where(hv == srow, lg, acc)
+            zs.append(acc * vals_t[8 * v:8 * v + 8])
+        z = jnp.concatenate(zs, axis=0)          # [SUB,128] sorted
+
+        # --- Benes unpermute to group-CSR order ---
+        a1 = jnp.take_along_axis(z, s1_r[:], axis=1)
+        s2_t = s2_r[:]
+        outs = []
+        for o in range(VB):
+            idx = s2_t[8 * o:8 * o + 8]
+            loc = jnp.bitwise_and(idx, 7)
+            vsrc = jnp.right_shift(idx, 3)
+            acc = jnp.zeros((8, LANES), jnp.float32)
+            for u in range(VB):
+                cand = jnp.take_along_axis(a1[8 * u:8 * u + 8], loc,
+                                           axis=0)
+                acc = jnp.where(vsrc == u, cand, acc)
+            outs.append(acc)
+        a2 = jnp.concatenate(outs, axis=0)
+        zc = jnp.take_along_axis(a2, s3_r[:], axis=1)   # CSR order
+
+        # --- flat segmented prefix sum (value, row-start flag) ---
+        # out-of-range shift-ins are (0, 0): zero adds nothing, and the
+        # flag must stay the TRUE or-scan of boundaries (it gates the
+        # sublane carry below)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+        subio = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+        v_ = zc
+        f_ = flag_r[:]
+        for sft in (1, 2, 4, 8, 16, 32, 64):
+            in_range = lane >= sft
+            sh_v = jnp.where(in_range, pltpu.roll(v_, sft, 1), 0.0)
+            sh_f = jnp.where(in_range, pltpu.roll(f_, sft, 1), 0.0)
+            v_ = v_ + jnp.where(f_ > 0, 0.0, sh_v)
+            f_ = jnp.maximum(f_, sh_f)
+        tv = jnp.broadcast_to(v_[:, LANES - 1:LANES], (SUB, LANES))
+        tf = jnp.broadcast_to(f_[:, LANES - 1:LANES], (SUB, LANES))
+        ev = jnp.where(subio >= 1, pltpu.roll(tv, 1, 0), 0.0)
+        ef = jnp.where(subio >= 1, pltpu.roll(tf, 1, 0), 0.0)
+        sft = 1
+        while sft < SUB:
+            in_range = subio >= sft
+            sh_v = jnp.where(in_range, pltpu.roll(ev, sft, 0), 0.0)
+            sh_f = jnp.where(in_range, pltpu.roll(ef, sft, 0), 0.0)
+            ev = ev + jnp.where(ef > 0, 0.0, sh_v)
+            ef = jnp.maximum(ef, sh_f)
+            sft *= 2
+        S_scr[:] = v_ + jnp.where(f_ > 0, 0.0, ev)
+
+        # --- row-end extraction (monotonic touch loop over S) ---
+        qrow_t = qrow_r[:]
+        qlo_t = qlo_r[:]
+        E = jnp.zeros((8, LANES), jnp.float32)
+        for k in range(SUB):
+            rowS = S_scr[k:k + 1, :]
+            lg = jnp.take_along_axis(
+                jnp.broadcast_to(rowS, (8, LANES)), qlo_t, axis=1)
+            E = jnp.where(qrow_t == k, lg, E)
+        D = jnp.where(qrow_t >= 0, E, 0.0)
+
+        yb = ybase_r[g]
+        y_r[pl.ds(yb, 8), :] += D
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((Csub, LANES), lambda g, *s: (0, 0)),
+            pl.BlockSpec((SUB, LANES), lambda g, *s: (g, 0)),
+            pl.BlockSpec((SUB, LANES), lambda g, *s: (g, 0)),
+            pl.BlockSpec((SUB, LANES), lambda g, *s: (g, 0)),
+            pl.BlockSpec((SUB, LANES), lambda g, *s: (g, 0)),
+            pl.BlockSpec((SUB, LANES), lambda g, *s: (g, 0)),
+            pl.BlockSpec((SUB, LANES), lambda g, *s: (g, 0)),
+            pl.BlockSpec((8, LANES), lambda g, *s: (g, 0)),
+            pl.BlockSpec((8, LANES), lambda g, *s: (g, 0)),
+            pl.BlockSpec((SUB, LANES), lambda g, *s: (g, 0)),
+        ],
+        out_specs=pl.BlockSpec((ST // LANES, LANES),
+                               lambda g, vb, st, fi, yb2: (st[g], 0)),
+        scratch_shapes=[pltpu.VMEM((SUB, LANES), jnp.float32)],
+    )
+
+    def fn(bu, x):
+        xp = jnp.zeros(Csub * LANES, jnp.float32).at[:cols_n].set(
+            x.astype(jnp.float32))
+        x2 = xp.reshape(Csub, LANES)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_stripes * ST // LANES, LANES), jnp.float32),
+            interpret=interpret,
+        )(bu["vbase"], bu["stripe"], bu["first"], bu["ybase"], x2,
+          bu["vals"], bu["hi"], bu["lo"], bu["s1"], bu["s2"], bu["s3"],
+          bu["qrow"], bu["qlo"], bu["flag"])
+        return out.reshape(-1)[:rows]
+
+    fn.meta = dict(num_groups=ng, span=SPAN, vb=VB,
+                   pad_ratio=round(ng * K / max(N, 1), 3),
+                   n_stripes=n_stripes, ST=ST)
+    return bufs, fn

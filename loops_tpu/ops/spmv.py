@@ -188,7 +188,28 @@ class SpMVOperator:
 
         # balanced flat schedules
         _require("csr", schedule, impl, SCHEDULES,
-                 ("xla", "pallas", "pallas2"))
+                 ("xla", "pallas", "pallas2", "pallas3"))
+        if impl == "pallas3":
+            # sorted-gather kernel: builds its own merge-path cuts at
+            # its native block size; demote to the XLA path outside its
+            # envelope (f64 values, wide-x, column-scattered blocks)
+            import warnings
+            if np.dtype(csr.vals.dtype) == np.float64:
+                warnings.warn(
+                    "impl='pallas3' stages float32; falling back to the "
+                    "XLA path for float64 values", stacklevel=2)
+                impl = "xla"
+            else:
+                from loops_tpu.ops.kernels.spmv_sorted import (
+                    sorted_spmv_pallas,
+                )
+                try:
+                    return sorted_spmv_pallas(csr)
+                except ValueError as e:
+                    warnings.warn(
+                        f"impl='pallas3' outside envelope ({e}); "
+                        "falling back to the XLA path", stacklevel=2)
+                    impl = "xla"
         plan = make_plan(layout, schedule,
                          **({"block_atoms": block}
                             if schedule == "work_oriented"
