@@ -56,8 +56,17 @@ def aggregate_operator(graph: Graph, op: str = "sum",
 
     import jax
 
-    bwd_op = SpMMOperator(_transpose_csr(adj), schedule=schedule, impl=impl,
-                          dtype=dtype)
+    # GCN-normalized undirected adjacencies are symmetric: A^T == A, so
+    # the backward propagation reuses the forward operator (and its
+    # compiled executable) instead of planning + compiling a transpose
+    adj_t = _transpose_csr(adj)
+    symmetric = (
+        adj.nnz == adj_t.nnz
+        and np.array_equal(adj.offsets, adj_t.offsets)
+        and np.array_equal(adj.indices, adj_t.indices)
+        and np.allclose(adj.vals, adj_t.vals))
+    bwd_op = fwd_op if symmetric else SpMMOperator(
+        adj_t, schedule=schedule, impl=impl, dtype=dtype)
 
     @jax.custom_vjp
     def prop(h):

@@ -59,7 +59,7 @@ def _round_up(x: int, m: int) -> int:
 def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
                        span: int | None = None, span_cap: int = 768,
                        stripe_rows: int = 32768, pad_cap: float = 4.0,
-                       x_sublanes_cap: int = 8192,
+                       x_sublanes_cap: int = 8192, bucketed: bool = False,
                        interpret: bool | None = None):
     """Build ``(bufs, fn)`` for CSR @ vector via the sorted-gather plan.
 
@@ -67,6 +67,12 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     envelope (needed chunk span above ``span_cap``, chunk padding above
     ``pad_cap``, or x larger than ``x_sublanes_cap`` VMEM sublanes) —
     callers fall back to the XLA path.
+
+    ``bucketed=True`` rounds every compile-relevant static (SPAN,
+    group count, x sublanes, stripe count) up to a power of two so
+    different matrices share compiled executables — the sweep's
+    per-matrix compile cost killer (launch_box analog: trade a little
+    padding for executable reuse across the battery).
     """
     import jax
     import jax.numpy as jnp
@@ -84,6 +90,8 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     K = VB * 8 * LANES          # atoms per group
     SUB = VB * 8
     Csub = max(_round_up(cols_n, LANES) // LANES, 1)
+    if bucketed:
+        Csub = 1 << (Csub - 1).bit_length()
     if Csub > x_sublanes_cap:
         raise ValueError(
             f"x needs {Csub} VMEM sublanes > cap {x_sublanes_cap}; "
@@ -103,9 +111,12 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     rid = np.repeat(np.arange(rows, dtype=np.int64), np.diff(offsets))
 
     # ---- block cuts: merge-path atoms, K-cap, row-span + stripe ----
-    ST = max(ROW_WINDOW, min(int(stripe_rows),
-                             _round_up(rows, ROW_WINDOW)))
-    ST = _round_up(ST, ROW_WINDOW)
+    if bucketed:
+        ST = _round_up(int(stripe_rows), ROW_WINDOW)  # shape-stable
+    else:
+        ST = max(ROW_WINDOW, min(int(stripe_rows),
+                                 _round_up(rows, ROW_WINDOW)))
+        ST = _round_up(ST, ROW_WINDOW)
     if plan is not None:
         cuts = plan.atom_starts.astype(np.int64)
     else:
@@ -128,8 +139,10 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
 
     # ---- static chunk span ----
     if span is None:
-        span = _round_up(int(1.2 * 1024 * Csub / min(K, N) ) + 8, 4)
+        span = _round_up(int(1.2 * 1024 * Csub / min(K, N)) + 8, 4)
         span = max(8, min(span, span_cap))
+    if bucketed:
+        span = 1 << (int(span) - 1).bit_length()
     SPAN = int(span)
 
     # ---- per block: column sort + greedy span-bounded chunks ----
@@ -169,16 +182,19 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
             f"{pad_cap}; matrix too column-scattered at SPAN={SPAN}")
 
     # ---- per-group staging ----
-    vals_s = np.zeros((ng, VB, 1024), np.float32)
-    hi_s = np.full((ng, VB, 1024), Csub, np.int32)   # sentinel: no touch
-    lo_s = np.zeros((ng, VB, 1024), np.int32)
-    vbase = np.zeros((ng, VB), np.int32)
-    dest = np.zeros((ng, K), np.int32)
-    flag_s = np.ones((ng, SUB, LANES), np.float32)
-    qrow = np.full((ng, 8, LANES), -1, np.int32)
-    qlo = np.zeros((ng, 8, LANES), np.int32)
-    ybase = np.zeros(ng, np.int32)
-    stripe_g = np.zeros(ng, np.int32)
+    ngp = (1 << (ng - 1).bit_length()) if bucketed else ng
+    vals_s = np.zeros((ngp, VB, 1024), np.float32)
+    hi_s = np.full((ngp, VB, 1024), Csub, np.int32)  # sentinel: no touch
+    lo_s = np.zeros((ngp, VB, 1024), np.int32)
+    vbase = np.zeros((ngp, VB), np.int32)
+    # pad groups carry the identity permutation (dest must stay a
+    # bijection for the Benes router) and all-(-1) row ends -> no-ops
+    dest = np.tile(np.arange(K, dtype=np.int32), (ngp, 1))
+    flag_s = np.ones((ngp, SUB, LANES), np.float32)
+    qrow = np.full((ngp, 8, LANES), -1, np.int32)
+    qlo = np.zeros((ngp, 8, LANES), np.int32)
+    ybase = np.zeros(ngp, np.int32)
+    stripe_g = np.zeros(ngp, np.int32)
 
     for g, chunk_ids in enumerate(groups):
         blk = chunks[chunk_ids[0]][0]
@@ -219,9 +235,13 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
         ybase[g] = (base - stripe * ST) // LANES
         stripe_g[g] = stripe
 
+    stripe_g[ng:] = stripe_g[:ng].max() if ng else 0  # pad: last stripe
     n_stripes = max(int(stripe_g.max()) + 1, _round_up(rows, ST) // ST)
-    firsts = np.zeros(ng, np.int32)
-    firsts[np.unique(stripe_g, return_index=True)[1]] = 1
+    if bucketed:
+        n_stripes = 1 << (n_stripes - 1).bit_length()
+    firsts = np.zeros(ngp, np.int32)
+    firsts[np.unique(stripe_g[:ng], return_index=True)[1]] = 1
+    ng = ngp
 
     s1, s2, s3 = benes_route(dest)
 

@@ -129,10 +129,11 @@ class SpMVOperator:
             # beats 512/256 for the merge-path Pallas kernel
             from loops_tpu.tuning.launch_box import launch_params
             block = launch_params().spmv_block
-        if schedule not in SCHEDULES and schedule != "auto":
+        if schedule not in SCHEDULES and schedule not in (
+                "auto", "sorted_flat"):
             raise ValueError(
                 f"unknown schedule {schedule!r}; expected one of "
-                f"{SCHEDULES + ('auto',)}")
+                f"{SCHEDULES + ('sorted_flat', 'auto')}")
         self.mat = mat
         self.schedule = schedule
         self.impl = impl
@@ -156,6 +157,12 @@ class SpMVOperator:
         if schedule == "auto":
             from loops_tpu.schedule.plans import choose_schedule
             schedule = self.schedule = choose_schedule(layout)
+        if schedule == "sorted_flat":
+            # the round-3 sorted-gather schedule: column-sorted
+            # span-bounded flat chunks through the pallas3 kernel
+            # (falls back to the XLA merge-path executor outside the
+            # kernel envelope)
+            schedule, impl = "merge_path", "pallas3"
 
         if schedule == "row_mapped":
             _require("csr", schedule, impl, SCHEDULES, ("xla",))

@@ -275,7 +275,9 @@ def choose_schedule(layout: Layout, thresholds: dict | None = None) -> str:
     mx = float(sizes.max())
     cv = float(sizes.std()) / mean
     if mx / mean > t["ratio"] or cv > t["cv"]:
-        return "group_mapped"
+        # the skew branch may name sorted_flat: column sorting
+        # rebalances skewed tiles as well as degree-class planes do
+        return t.get("group", "group_mapped")
     if mx <= t["small"]:
         return "row_mapped"
     return t.get("flat", "merge_path")

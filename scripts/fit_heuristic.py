@@ -26,7 +26,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from summarize_sweep import load_logs  # noqa: E402
 
-SCHEDS = ("row_mapped", "group_mapped", "work_oriented", "merge_path")
+SCHEDS = ("row_mapped", "group_mapped", "work_oriented", "merge_path",
+          "sorted_flat")
 
 
 def features(csr):
@@ -37,11 +38,12 @@ def features(csr):
                 rows=csr.shape[0], nnz=csr.nnz)
 
 
-def pick(feat, t_ratio, t_cv, t_small, flat="merge_path"):
+def pick(feat, t_ratio, t_cv, t_small, flat="merge_path",
+         group="group_mapped"):
     if feat["nnz"] == 0:
         return "row_mapped"
     if feat["mx"] / feat["mean"] > t_ratio or feat["cv"] > t_cv:
-        return "group_mapped"
+        return group
     if feat["mx"] <= t_small:
         return "row_mapped"
     return flat
@@ -92,29 +94,37 @@ def main(argv=None):
     print(f"oracle geomean:      {oracle:.4f} ms "
           f"({gms[fixed]/oracle:.2f}x over fixed {fixed})")
 
-    def capture(t_ratio, t_cv, t_small, flat="merge_path"):
-        chosen = [runs[ds][pick(feats[ds], t_ratio, t_cv, t_small, flat)]
+    def capture(t_ratio, t_cv, t_small, flat="merge_path",
+                group="group_mapped"):
+        chosen = [runs[ds][pick(feats[ds], t_ratio, t_cv, t_small, flat,
+                                group)]
                   for ds in names]
         return oracle / geomean(chosen)   # 1.0 = matches oracle
 
     from loops_tpu.schedule.plans import HEURISTIC_THRESHOLDS as CUR
     cur_t = (CUR["ratio"], CUR["cv"], CUR["small"],
-             CUR.get("flat", "merge_path"))
+             CUR.get("flat", "merge_path"),
+             CUR.get("group", "group_mapped"))
     cur = capture(*cur_t)
     print(f"\ncurrent thresholds (ratio>{cur_t[0]:g} | cv>{cur_t[1]:g} -> "
           f"group; mx<={cur_t[2]:g} -> row; else {cur_t[3]}): "
           f"capture {cur:.1%} of oracle")
 
     best = (cur, cur_t)
-    for t_ratio in (2, 4, 8, 16, 32, 64, 1e18):
-        for t_cv in (0.5, 1.0, 2.0, 4.0, 8.0, 1e18):
+    # grid extended below the previous edge values (ADVICE r2: the
+    # round-2 fit landed on the smallest grid entries)
+    for t_ratio in (1.25, 1.5, 2, 4, 8, 16, 32, 64, 1e18):
+        for t_cv in (0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 1e18):
             for t_small in (0, 2, 4, 8, 16, 32):
-                for flat in ("merge_path", "work_oriented"):
-                    c = capture(t_ratio, t_cv, t_small, flat)
-                    if c > best[0]:
-                        best = (c, (t_ratio, t_cv, t_small, flat))
-    c, (tr, tc, ts, tf) = best
-    print(f"fitted thresholds: ratio>{tr:g} | cv>{tc:g} -> group_mapped; "
+                for flat in ("merge_path", "work_oriented",
+                             "sorted_flat"):
+                    for group in ("group_mapped", "sorted_flat"):
+                        c = capture(t_ratio, t_cv, t_small, flat, group)
+                        if c > best[0]:
+                            best = (c, (t_ratio, t_cv, t_small, flat,
+                                        group))
+    c, (tr, tc, ts, tf, tg) = best
+    print(f"fitted thresholds: ratio>{tr:g} | cv>{tc:g} -> {tg}; "
           f"mx<={ts:g} -> row_mapped; else {tf}")
     print(f"fitted capture: {c:.1%} of oracle "
           f"({oracle/ (oracle/c) :.4f} relative geomean)")
@@ -124,7 +134,7 @@ def main(argv=None):
     # matrices — plots/data/heuristics.csv). TPU vendor = BCOO matvec.
     vds = [ds for ds in names if ds in vendor]
     if vds:
-        h_ms = {ds: runs[ds][pick(feats[ds], tr, tc, ts, tf)]
+        h_ms = {ds: runs[ds][pick(feats[ds], tr, tc, ts, tf, tg)]
                 for ds in vds}
         o_ms = {ds: min(runs[ds].values()) for ds in vds}
         su_h = [vendor[ds] / h_ms[ds] for ds in vds]
@@ -151,7 +161,7 @@ def main(argv=None):
         for ds in names:
             r, ft = runs[ds], feats[ds]
             okern = min(r, key=r.get)
-            hkern = pick(ft, tr, tc, ts, tf)
+            hkern = pick(ft, tr, tc, ts, tf, tg)
             v = vendor.get(ds)
             vcols = (f"{v:.5f},{v / r[hkern]:.4f}" if v is not None
                      else ",")

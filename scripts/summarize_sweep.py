@@ -39,7 +39,8 @@ def load_logs(d):
     return runs
 
 
-SCHEDULES = ("row_mapped", "group_mapped", "work_oriented", "merge_path")
+SCHEDULES = ("row_mapped", "group_mapped", "work_oriented",
+             "merge_path", "sorted_flat")
 
 
 def main(argv):

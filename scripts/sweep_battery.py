@@ -40,7 +40,29 @@ SCHED_IMPL = {
     "group_mapped": "xla",
     "work_oriented": "pallas2",
     "merge_path": "pallas2",
+    # the round-3 sorted-gather kernel enters the oracle study as a
+    # fifth schedule (it IS one: column-sorted span-bounded flat
+    # chunks); bucketed shapes let the battery share executables
+    "sorted_flat": "pallas3",
 }
+
+
+def _build_op(csr, sched, impl):
+    import jax
+
+    if sched == "sorted_flat":
+        from loops_tpu.ops.kernels.spmv_sorted import sorted_spmv_pallas
+
+        class _Shim:
+            pass
+
+        bufs, fn = sorted_spmv_pallas(csr, bucketed=True)
+        op = _Shim()
+        op._bufs, op._jit = bufs, jax.jit(fn)
+        op._fn = lambda x: op._jit(op._bufs, x)
+        return op
+    from loops_tpu.ops.spmv import SpMVOperator
+    return SpMVOperator(csr, sched, impl=impl)
 
 
 def dyn_chain(fn):
@@ -133,14 +155,22 @@ def main(argv=None):
 
     logs = {s: open(os.path.join(args.out, f"{s}.csv"), "a")
             for s in SCHED_IMPL}
+    # per-(matrix, schedule) resume from the logs themselves, so adding
+    # a new schedule re-runs only the missing column (done.txt alone
+    # would skip whole matrices)
+    done_pairs = set()
+    for s in SCHED_IMPL:
+        p = os.path.join(args.out, f"{s}.csv")
+        if os.path.exists(p):
+            for line in open(p):
+                parts = line.strip().split(",")
+                if len(parts) >= 2:
+                    done_pairs.add((parts[1], s))
     done_key = os.path.join(args.out, "done.txt")
-    done = set()
-    if os.path.exists(done_key):
-        done = set(open(done_key).read().split())
 
     t_start = time.time()
     for i, name in enumerate(names):
-        if name in done:
+        if all((name, s) in done_pairs for s in SCHED_IMPL):
             continue
         if args.budget_s and time.time() - t_start > args.budget_s:
             print(f"budget reached after {i} matrices", flush=True)
@@ -150,12 +180,14 @@ def main(argv=None):
         ref = None
         row = f"{csr.shape[0]},{csr.shape[1]},{csr.nnz}"
         for sched, impl in SCHED_IMPL.items():
+            if (name, sched) in done_pairs:
+                continue
             t0 = time.time()
             try:
                 import warnings
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore")
-                    op = SpMVOperator(csr, sched, impl=impl)
+                    op = _build_op(csr, sched, impl)
                 y = np.asarray(op._fn(x))
                 if ref is None:
                     from loops_tpu.utils import reference
