@@ -85,8 +85,17 @@ def _stage_extraction(plan):
     return end_arr, rel_arr, mask_arr, keep, s0, R, S
 
 
-def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
-    """Build ``(bufs, fn(bufs, x))`` for CSR + a FlatBlockPlan."""
+def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None,
+                        bucketed: bool = False):
+    """Build ``(bufs, fn(bufs, x))`` for CSR + a FlatBlockPlan.
+
+    ``bucketed=True`` pow2-rounds every compile-relevant static shape
+    (block count B, segments-per-block S, row span R, output stripes
+    Sy) so different matrices land on shared HLO — combined with the
+    persistent compilation cache this collapses the sweep's per-matrix
+    compile cost to one compile per shape *bucket*. Padding blocks are
+    no-ops by construction (zero values, zero extraction mask).
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -97,6 +106,9 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    def pow2(x: int) -> int:
+        return 1 << (int(x) - 1).bit_length()
+
     rows = csr.shape[0]
     K = plan.block_atoms
     Kp = _round_up(K, LANES)
@@ -105,11 +117,34 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None):
     # sublane-divisible and the register block (GROUP*SUB, LANES) too
     GROUP = 8
     B = _round_up(plan.num_blocks, GROUP)
+    if bucketed:
+        B = _round_up(pow2(B), GROUP)
 
     end_arr, rel_arr, mask_arr, keep_arr, s0, R, S = _stage_extraction(plan)
     if R > 4096:
         raise ValueError(f"block row span {R} too large; use merge_path")
+    if S * R > 1 << 22:
+        # row-dense blocks (low-degree matrices): the per-block one-hot
+        # extraction+scatter costs S*R and its Mosaic compile time blows
+        # up past ~4M products — that regime belongs to the row-window
+        # sorted kernel (spmv_sorted.py) or the XLA executor
+        raise ValueError(
+            f"extraction product S*R = {S}*{R} exceeds the v2 kernel's "
+            "compile envelope; use impl='pallas3' or the XLA path")
+    if bucketed:
+        R = min(LANES * pow2(R // LANES), 4096)
+        S2 = LANES * pow2(S // LANES)
+        if S2 > S:
+            def widen(a, fill=0):
+                out = np.full(a.shape[:-1] + (S2,), fill, a.dtype)
+                out[..., :S] = a
+                return out
+            end_arr, rel_arr = widen(end_arr), widen(rel_arr)
+            mask_arr = widen(mask_arr)
+            S = S2
     Sy = _round_up(rows, LANES) // LANES + R // LANES
+    if bucketed:
+        Sy = pow2(Sy)
 
     def pad_b(a, fill=0):
         out = np.full((B,) + a.shape[1:], fill, dtype=a.dtype)

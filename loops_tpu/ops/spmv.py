@@ -120,7 +120,8 @@ class SpMVOperator:
     """
 
     def __init__(self, mat, schedule: str = "row_mapped",
-                 block: int | None = None, impl: str = "xla"):
+                 block: int | None = None, impl: str = "xla",
+                 bucketed: bool = False):
         import jax
 
         if block is None:
@@ -138,6 +139,7 @@ class SpMVOperator:
         self.schedule = schedule
         self.impl = impl
         self.block = block
+        self.bucketed = bucketed
         self.rows, self.cols = mat.shape
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
         self._bufs, fn = builder(mat, schedule, block, impl)
@@ -211,7 +213,7 @@ class SpMVOperator:
                     sorted_spmv_pallas,
                 )
                 try:
-                    return sorted_spmv_pallas(csr)
+                    return sorted_spmv_pallas(csr, bucketed=self.bucketed)
                 except ValueError as e:
                     warnings.warn(
                         f"impl='pallas3' outside envelope ({e}); "
@@ -226,8 +228,16 @@ class SpMVOperator:
             from loops_tpu.ops.kernels.spmv_flat import flat_spmv_pallas
             return flat_spmv_pallas(csr, plan)
         if impl == "pallas2":
+            import warnings
+
             from loops_tpu.ops.kernels.spmv_flat_v2 import flat_spmv_pallas_v2
-            return flat_spmv_pallas_v2(csr, plan)
+            try:
+                return flat_spmv_pallas_v2(csr, plan,
+                                           bucketed=self.bucketed)
+            except ValueError as e:
+                warnings.warn(
+                    f"impl='pallas2' outside envelope ({e}); falling "
+                    "back to the XLA path", stacklevel=2)
         return self._flat_xla(plan,
                               vals=np.where(plan.valid,
                                             csr.vals[plan.atom_gather], 0),

@@ -31,9 +31,13 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from loops_tpu.utils.platform import ensure_platform  # noqa: E402
+from loops_tpu.utils.platform import (  # noqa: E402
+    enable_compilation_cache,
+    ensure_platform,
+)
 
 ensure_platform()
+enable_compilation_cache()
 
 SCHED_IMPL = {
     "row_mapped": "xla",
@@ -62,7 +66,9 @@ def _build_op(csr, sched, impl):
         op._fn = lambda x: op._jit(op._bufs, x)
         return op
     from loops_tpu.ops.spmv import SpMVOperator
-    return SpMVOperator(csr, sched, impl=impl)
+    # bucketed: pow2-rounded kernel shapes -> shared executables across
+    # the battery (with the persistent compilation cache enabled above)
+    return SpMVOperator(csr, sched, impl=impl, bucketed=True)
 
 
 def dyn_chain(fn):

@@ -25,9 +25,13 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from loops_tpu.utils.platform import ensure_platform  # noqa: E402
+from loops_tpu.utils.platform import (  # noqa: E402
+    enable_compilation_cache,
+    ensure_platform,
+)
 
 ensure_platform()
+enable_compilation_cache()
 
 from sweep_battery import time_op  # noqa: E402  (shared slope timer)
 
