@@ -300,6 +300,16 @@ def main():
                        "nnz": int(csr_v.nnz), "ms_median": round(md, 4)})
         log(f"# spmv merge-path: {m:.3f} ms ({csr_v.nnz:,} nnz)")
 
+        # sorted-gather CSR SpMV (schedule='sorted_flat'): the kernel
+        # that beats the scalar-gather floor on the same regime
+        op_s = SpMVOperator(csr_v, "sorted_flat")
+        _ = np.asarray(op_s._fn(x))
+        m, md = slope_chain_ms(op_s._fn, x, repeats=3)
+        extras.append({"metric": "spmv_sorted_ms",
+                       "value": round(m, 4), "unit": "ms",
+                       "nnz": int(csr_v.nnz), "ms_median": round(md, 4)})
+        log(f"# spmv sorted-flat: {m:.3f} ms ({csr_v.nnz:,} nnz)")
+
         # BCSR register-accumulate SpMV, same matrix family as the SpMM
         csr_b, bcsr_b = build_block_sparse(N=32768, R=8, C=128,
                                            block_density=0.015)
@@ -356,7 +366,9 @@ def main():
         csr_s = random_csr(65536, 65536, 2.47e6 / 65536**2, seed=6)
         F_s = 128
         rng_s = np.random.default_rng(8)
-        Aop = SDDMMOperator(csr_s, dtype="bfloat16")
+        # the flat Pallas kernel (one-gather SDDMM); warns + falls back
+        # to XLA outside its envelope
+        Aop = SDDMMOperator(csr_s, impl="pallas", dtype="bfloat16")
         Xs = jnp.asarray(rng_s.normal(size=(65536, F_s))
                          .astype(np.float32))
         Ys = jnp.asarray(rng_s.normal(size=(65536, F_s))
@@ -389,7 +401,10 @@ def main():
         data = ogb.load("ogbn-arxiv")   # 169k nodes / ~2.3M edges
         g = data.graph
         dims = [data.features.shape[1], 128, 128, data.num_classes]
-        model = GCN(g, dims, dropout=0.5)
+        # throughput mode: schedule="auto" + bf16 routes the aggregation
+        # through the flat merge-path Pallas SpMM fwd AND bwd (custom
+        # VJP; identical loss trace, docs/experimentation.md)
+        model = GCN(g, dims, dropout=0.5, dtype="bfloat16")
         p0 = model.init(jax.random.PRNGKey(0))
         opt = optax.adam(1e-2)
         step = jax.jit(T.make_train_step(model, opt, data.features,

@@ -42,7 +42,7 @@ class GCN:
     """
 
     def __init__(self, graph: Graph, dims, dropout: float = 0.5,
-                 schedule: str = "group_mapped", impl: str = "xla",
+                 schedule: str = "auto", impl: str = "xla",
                  remat: bool = False, dtype=None):
         self.dims = list(dims)
         self.dropout = dropout

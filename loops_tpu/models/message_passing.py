@@ -25,17 +25,35 @@ def _transpose_csr(csr):
                csc.vals)
 
 
+def _route_aggregation(adj, dtype) -> tuple[str, str]:
+    """Resolve ``schedule="auto"`` to the measured-best aggregation
+    kernel for this platform/operand mode (the model-tier analog of the
+    reference's launch_box arch keying, util/launch_box.hxx:176-214).
+
+    TPU + bf16 operands -> the flat merge-path Pallas SpMM (fastest
+    measured aggregation, docs/experimentation.md); everything else ->
+    group_mapped XLA planes (the fastest exact path, and the safe
+    choice on CPU where interpret-mode Pallas is debug-speed only).
+    """
+    import jax
+
+    from loops_tpu.formats import CSR
+    if (jax.default_backend() == "tpu" and isinstance(adj, CSR)
+            and dtype == "bfloat16"):
+        return "merge_path", "pallas"
+    return "group_mapped", "xla"
+
+
 def aggregate_operator(graph: Graph, op: str = "sum",
-                       schedule: str = "group_mapped", impl: str = "xla",
+                       schedule: str = "auto", impl: str = "xla",
                        custom_vjp: bool = True, dtype=None):
     """Build ``h -> aggregated`` for sum/mean aggregation (one SpMM).
 
-    Default schedule is ``group_mapped`` (degree-class planes): measured
-    2.3x faster than the scatter path on power-law graphs at F=128
-    (docs/experimentation.md). The throughput mode is
-    ``schedule="merge_path", impl="pallas", dtype="bfloat16"`` — the
-    flat Pallas kernel, fastest measured (198 M edges/s) with one bf16
-    rounding of the products.
+    Default ``schedule="auto"`` routes to the measured-best kernel
+    (``_route_aggregation``): the flat Pallas merge-path SpMM on TPU in
+    bf16 mode (fastest measured), group_mapped degree-class planes
+    otherwise (2.3x faster than the scatter path on power-law graphs
+    at F=128, docs/experimentation.md).
 
     ``custom_vjp=True`` replaces autodiff's transposed-gather (a TPU
     scatter, ~10x slower than the forward) with the mathematically
@@ -50,6 +68,8 @@ def aggregate_operator(graph: Graph, op: str = "sum",
         adj = graph.gcn_normalized().adj
     else:
         raise ValueError(f"aggregate_operator: unsupported op {op!r}")
+    if schedule == "auto":
+        schedule, impl = _route_aggregation(adj, dtype)
     fwd_op = SpMMOperator(adj, schedule=schedule, impl=impl, dtype=dtype)
     if not custom_vjp:
         return fwd_op

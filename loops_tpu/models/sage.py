@@ -28,7 +28,7 @@ def init_sage(key, dims):
 
 class GraphSAGE:
     def __init__(self, graph: Graph, dims,
-                 schedule: str = "group_mapped", impl: str = "xla"):
+                 schedule: str = "auto", impl: str = "xla"):
         self.graph = graph
         self.dims = list(dims)
         self.aggregate = aggregate_operator(graph, op="mean",

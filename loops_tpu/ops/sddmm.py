@@ -32,6 +32,29 @@ class SDDMMOperator:
         if isinstance(mat, BCSR) and impl == "pallas":
             from loops_tpu.ops.kernels.sddmm_bcsr import bcsr_sddmm_pallas
             self._bufs, fn = bcsr_sddmm_pallas(mat, block_f=block_f)
+        elif isinstance(mat, CSR) and impl == "pallas":
+            # flat kernel: monotone A-side expansion kills one of the
+            # two gather-issue floors (ops/kernels/sddmm_flat.py);
+            # bf16-operand mode only — f64/f32-exact stays on XLA
+            import warnings
+
+            from loops_tpu.ops.kernels.sddmm_flat import flat_sddmm_pallas
+            if dtype != "bfloat16":
+                warnings.warn(
+                    "impl='pallas' SDDMM is the bf16-operand kernel; "
+                    "falling back to the XLA path for exact dtypes",
+                    stacklevel=2)
+                self._bufs, fn = self._build_nz(mat.row_ids(), mat.indices,
+                                                mat.vals, dtype)
+            else:
+                try:
+                    self._bufs, fn = flat_sddmm_pallas(mat)
+                except ValueError as e:
+                    warnings.warn(
+                        f"impl='pallas' outside envelope ({e}); falling "
+                        "back to the XLA path", stacklevel=2)
+                    self._bufs, fn = self._build_nz(
+                        mat.row_ids(), mat.indices, mat.vals, dtype)
         elif isinstance(mat, CSR):
             self._bufs, fn = self._build_nz(mat.row_ids(), mat.indices,
                                             mat.vals, dtype)

@@ -178,3 +178,54 @@ def test_sddmm_bf16_close_to_f32():
     got = np.asarray(sddmm(csr, A, B, dtype="bfloat16"))
     # bf16 has ~3 decimal digits; dot length 32
     assert np.allclose(got, ref, atol=0.2, rtol=0.05)
+
+
+# ---------------------------------------------------------------- flat
+# Pallas SDDMM (ops/kernels/sddmm_flat.py): storage-order values, bf16
+# operand rounding, monotone A-side window expansion
+
+def test_sddmm_flat_pallas_battery():
+    from loops_tpu.ops.kernels.sddmm_flat import flat_sddmm_pallas
+
+    rng = np.random.default_rng(5)
+    for name, builder in (
+            ("uniform", lambda: generate.random_csr(1024, 1024, 0.01,
+                                                    seed=2)),
+            ("rect", lambda: generate.random_csr(768, 1536, 0.01,
+                                                 seed=3)),
+            ("skewed", lambda: generate.skewed_csr(512, 512,
+                                                   heavy_rows=4)),
+    ):
+        csr = builder()
+        A = rng.normal(size=(csr.shape[0], 64)).astype(np.float32)
+        B = rng.normal(size=(csr.shape[1], 64)).astype(np.float32)
+        bufs, fn = flat_sddmm_pallas(csr, block_atoms=256)
+        out = np.asarray(fn(bufs, A, B))
+        ref = reference.sddmm(csr, A, B)
+        err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-9)
+        assert out.shape == ref.shape, name
+        assert err < 2e-2, (name, err)
+
+
+def test_sddmm_flat_operator_fallbacks():
+    """f32 request and tiny matrices warn + fall back to XLA."""
+    import warnings
+
+    from loops_tpu.ops.sddmm import SDDMMOperator
+
+    csr = CASES["random"]()   # 40x36: smaller than any RW window
+    A = _B(csr.shape[0], 16, seed=1)
+    B = _B(csr.shape[1], 16, seed=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        op = SDDMMOperator(csr, impl="pallas", dtype="bfloat16")
+        assert any("falling back" in str(x.message) for x in w)
+    out = np.asarray(op._fn(A, B))
+    ref = reference.sddmm(csr, A, B)
+    assert count_mismatches(out, ref, atol=1e-1, rtol=1e-1) == 0
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        SDDMMOperator(csr, impl="pallas", dtype=None)
+        assert any("bf16" in str(x.message) or "exact" in str(x.message)
+                   for x in w)
