@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--sparsity", type=float, default=0.01)
     p.add_argument("--schedule", default="merge_path",
                    choices=["row_mapped", "group_mapped", "work_oriented",
-                            "merge_path"])
+                            "merge_path", "sorted_flat", "auto"])
     p.add_argument("--format", default="csr",
                    choices=["csr", "csc", "coo", "ell", "bcsr", "dia",
                             "auto"])

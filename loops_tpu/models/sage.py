@@ -37,9 +37,13 @@ class GraphSAGE:
     def init(self, key):
         return init_sage(key, self.dims)
 
-    def apply(self, params, h):
-        """Full-graph forward."""
+    def apply(self, params, h, *, train: bool = False, rng=None):
+        """Full-graph forward. ``train``/``rng`` are accepted for the
+        shared train-step interface (models/train.py); SAGE has no
+        dropout so they are no-ops."""
         import jax
+
+        del train, rng
 
         agg_fn = self.aggregate._fn
         for i, layer in enumerate(params):

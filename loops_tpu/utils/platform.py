@@ -38,6 +38,12 @@ def enable_compilation_cache(path: str | None = None,
     """
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU executables are AOT-compiled against exact host machine
+        # features; reloading them on a different host (or after a
+        # sandbox migration) trips XLA's feature-mismatch warnings for
+        # no win — the cache only pays off for the slow Mosaic/TPU tier
+        return ""
     path = path or os.environ.get(
         "LOOPS_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "loops_tpu_xla"))

@@ -24,6 +24,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from summarize_sweep import load_logs  # noqa: E402
 
 SCHEDS = ("row_mapped", "group_mapped", "work_oriented", "merge_path",
@@ -93,6 +94,24 @@ def main(argv=None):
     print(f"\nbest fixed schedule: {fixed} ({gms[fixed]:.4f} ms geomean)")
     print(f"oracle geomean:      {oracle:.4f} ms "
           f"({gms[fixed]/oracle:.2f}x over fixed {fixed})")
+
+    # reference-analog four-schedule study: the reference's best-of-3
+    # selection thesis is measured among its own schedules
+    # (plots/data/heuristics.csv); sorted_flat has no reference analog,
+    # so report the selection value among the four ports too
+    REF4 = tuple(s for s in SCHEDS if s != "sorted_flat")
+    gms4 = {s: geomean([runs[ds][s] for ds in names]) for s in REF4}
+    fixed4 = min(gms4, key=gms4.get)
+    oracle4 = geomean([min(runs[ds][s] for s in REF4) for ds in names])
+    wins4 = {s: 0 for s in REF4}
+    for r in runs.values():
+        wins4[min(REF4, key=lambda s: r[s])] += 1
+    mix4 = "/".join(f"{s}:{wins4[s]}" for s in REF4)
+    print(f"\nfour-schedule (reference-analog) study: best fixed "
+          f"{fixed4} {gms4[fixed4]:.4f} ms; oracle {oracle4:.4f} ms "
+          f"({gms4[fixed4]/oracle4:.2f}x over fixed); mix {mix4}")
+    print(f"sorted_flat vs four-schedule oracle: "
+          f"{oracle4/gms['sorted_flat']:.2f}x geomean")
 
     def capture(t_ratio, t_cv, t_small, flat="merge_path",
                 group="group_mapped"):
