@@ -52,3 +52,36 @@ def test_merge_path_pallas_v2_matches_reference(name, block):
     assert n == 0, f"v2/{name}/block={block}: {n} mismatches"
     rep = reference.rigorously_validate_spmv(csr, x, np.asarray(y))
     assert rep.verdict == "NOT_A_BUG"
+
+
+@pytest.mark.parametrize("name", ["random_big", "skewed", "empty_rows"])
+def test_merge_path_pallas_v2_bucketed(name):
+    """bucketed=True pow2-rounds B/S/R/Sy (executable sharing for the
+    sweep); padding blocks must be exact no-ops."""
+    from loops_tpu.ops.spmv import SpMVOperator
+
+    csr = CASES[name]()
+    x = generate.make_input_vector(csr.shape[1])
+    op = SpMVOperator(csr, "merge_path", block=64, impl="pallas2",
+                      bucketed=True)
+    y = np.asarray(op._fn(x))
+    n = count_mismatches(y, reference.spmv(csr, x), atol=1e-3, rtol=1e-4)
+    assert n == 0, f"bucketed/{name}: {n} mismatches"
+
+
+def test_pallas2_sr_envelope_falls_back():
+    """A low-degree matrix whose extraction product S*R overflows the
+    v2 compile envelope must warn and fall back to the XLA executor."""
+    import warnings
+
+    from loops_tpu.ops.spmv import SpMVOperator
+
+    csr = generate.random_csr(20000, 20000, 2.0 / 20000, seed=5)
+    x = generate.make_input_vector(20000)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        op = SpMVOperator(csr, "merge_path", block=8192, impl="pallas2")
+    assert any("envelope" in str(m.message) for m in w)
+    y = np.asarray(op._fn(x))
+    assert count_mismatches(y, reference.spmv(csr, x),
+                            atol=1e-3, rtol=1e-4) == 0
