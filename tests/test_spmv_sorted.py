@@ -127,3 +127,17 @@ def test_sorted_kernel_wide_x_falls_back_with_warning():
             spmv_sorted.sorted_spmv_pallas(csr, x_sublanes_cap=4)
     op = SpMVOperator(csr, "merge_path", impl="pallas3")
     _check(op(x), csr, x, "wide-x")
+
+
+@pytest.mark.parametrize("name", ["skewed", "empty_rows"])
+def test_sorted_kernel_bucketed(name):
+    """bucketed=True pow2-rounds SPAN / group count / x sublanes /
+    stripes for executable sharing (the sweep mode); pad groups carry
+    identity permutations and must be no-ops."""
+    from loops_tpu.ops.kernels.spmv_sorted import sorted_spmv_pallas
+
+    csr = BATTERY[name]()
+    x = generate.make_input_vector(csr.shape[1])
+    bufs, fn = sorted_spmv_pallas(csr, vregs_per_block=2, bucketed=True,
+                                  interpret=True)
+    _check(fn(bufs, x), csr, x, f"bucketed/{name}")
