@@ -87,9 +87,13 @@ class SpMMOperator:
         if schedule == "auto":
             from loops_tpu.schedule.plans import choose_schedule
             pick = choose_schedule(CsrLayout.from_csr(csr))
-            # merge_path SpMM lowers to the same gather-segment XLA path
+            # SpMM has no sorted_flat analog (its x is a matrix, not a
+            # VMEM-resident vector); the skew/sorted picks map to the
+            # degree-class planes, merge_path lowers to the same
+            # gather-segment XLA path as row_mapped
             schedule = self.schedule = (
-                "group_mapped" if pick == "group_mapped" else "row_mapped")
+                "group_mapped" if pick in ("group_mapped", "sorted_flat")
+                else "row_mapped")
         if impl != "xla" and not (schedule == "merge_path"
                                   and impl == "pallas"):
             raise ValueError(

@@ -239,18 +239,24 @@ class FlatBlockPlan:
 # against the on-chip sweep of the synthetic battery (sweep_logs/ —
 # scripts/sweep_battery.py); re-run the fitter after any kernel change
 # that shifts the schedule crossovers.
-# Fitted from the on-chip 72-matrix schedule sweep (v5e, round 2;
-# scripts/sweep_battery.py + scripts/fit_heuristic.py, artifact
-# plots/data/heuristics.csv): captures 89.1% of the best-of-schedules
-# oracle geomean vs 79.0% for the previous hand-set values. The
-# measured oracle mix skews to group_mapped (44/72 wins), so the skew
-# gates fire early; uniform non-tiny tiles go to the flat schedule,
-# where work_oriented edges out merge_path on this hardware.
+# Fitted from the on-chip FULL 114-matrix schedule sweep (v5e, round
+# 3; scripts/sweep_battery.py + scripts/fit_heuristic.py, artifact
+# plots/data/heuristics.csv): the sorted-gather kernel
+# (schedule='sorted_flat', ops/kernels/spmv_sorted.py) wins the oracle
+# on 111/113 matrices and its geomean is 6.3x faster than even the
+# best-of-the-four-reference-schedules ORACLE — so the fitted choice
+# is sorted_flat everywhere (99.1% oracle capture), with the kernel's
+# own envelope fallback (pad_cap / x-sublanes / f64) providing the
+# escape hatch to the XLA merge-path executor. Among the four
+# reference-analog schedules the selection thesis still holds: oracle
+# mix group_mapped:75 / work_oriented:29 / merge_path:9, 1.07x over
+# the best fixed — preserved in fit_heuristic's four-schedule study.
 HEURISTIC_THRESHOLDS = {
-    "ratio": 2.0,   # max_tile/mean_tile above which skew wins -> group
-    "cv": 0.5,      # coefficient of variation above which -> group
-    "small": 4.0,   # max tile size at or below which -> row_mapped
-    "flat": "work_oriented",  # schedule for uniform non-tiny tiles
+    "ratio": 1.25,  # max_tile/mean_tile above which skew branch fires
+    "cv": 0.125,    # coefficient of variation above which skew branch
+    "small": 0.0,   # max tile size at or below which -> row_mapped
+    "flat": "sorted_flat",   # uniform non-tiny tiles
+    "group": "sorted_flat",  # skewed tiles
 }
 
 

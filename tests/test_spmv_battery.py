@@ -132,14 +132,23 @@ def test_auto_schedule_selection():
     from loops_tpu.layout import CsrLayout
     from loops_tpu.schedule.plans import choose_schedule
 
+    # the round-3 full-sweep fit picks sorted_flat across both the skew
+    # and flat branches (oracle winner on 111/113 battery matrices);
+    # the small-tile branch is fitted shut (small=0)
     skewed = generate.skewed_csr(20, 40, heavy_rows=1, heavy_nnz=30)
-    assert choose_schedule(CsrLayout.from_csr(skewed)) == "group_mapped"
-    uniform = generate.tridiag_csr(30)
-    assert choose_schedule(CsrLayout.from_csr(uniform)) == "row_mapped"
-    # uniform non-tiny tiles go to the flat schedule; the round-2 sweep
-    # fitted work_oriented as the flat choice on v5e
+    assert choose_schedule(CsrLayout.from_csr(skewed)) == "sorted_flat"
     medium = generate.banded_csr(40, 40, band=8)
-    assert choose_schedule(CsrLayout.from_csr(medium)) == "work_oriented"
+    assert choose_schedule(CsrLayout.from_csr(medium)) == "sorted_flat"
+    # the pre-fit structural branches stay exercisable via explicit
+    # thresholds (the reference-analog defaults)
+    legacy = dict(ratio=2.0, cv=0.5, small=4.0, flat="work_oriented")
+    assert choose_schedule(CsrLayout.from_csr(skewed),
+                           legacy) == "group_mapped"
+    uniform = generate.tridiag_csr(30)
+    assert choose_schedule(CsrLayout.from_csr(uniform),
+                           legacy) == "row_mapped"
+    assert choose_schedule(CsrLayout.from_csr(medium),
+                           legacy) == "work_oriented"
 
     # end-to-end through the operator
     x = generate.make_input_vector(40)
