@@ -79,7 +79,9 @@ def flat_sddmm_pallas(csr, block_atoms: int = 1024, rw_cap: int = 1024,
     plan = FlatBlockPlan.work_oriented(CsrLayout.from_csr(csr),
                                        block_atoms=K)
     r0 = plan.tile_starts[:-1].astype(np.int64)
-    base = (r0 // 8) * 8
+    # bf16 HBM tiles are (16, 128): DMA bases must sit on 16-row
+    # boundaries or the Mosaic compile crashes server-side
+    base = (r0 // 16) * 16
     rel = plan.rel_tile + (r0 - base)[:, None]
     span = int(rel.max(initial=0)) + 1
     RW = 1 << (max(span, 8) - 1).bit_length()
@@ -87,7 +89,7 @@ def flat_sddmm_pallas(csr, block_atoms: int = 1024, rw_cap: int = 1024,
         raise ValueError(
             f"block row span {span} > rw_cap {rw_cap} (rows too sparse "
             "for the windowed A expansion); use the XLA path")
-    rows8 = _round_up(rows, 8)
+    rows8 = _round_up(rows, 16)
     if rows8 < RW:
         raise ValueError(f"matrix has fewer than RW={RW} rows; "
                          "use the XLA path")
@@ -118,26 +120,32 @@ def flat_sddmm_pallas(csr, block_atoms: int = 1024, rw_cap: int = 1024,
 
     def kernel(base_ref, gb_ref, rel_ref, a_any, out_ref, awin, sems):
         g = pl.program_id(0)
+
+        def a_dma(j):
+            # multiple_of: the staged bases are 16-row aligned (bf16
+            # HBM tile height); the hint lets Mosaic emit the DMA
+            base = pl.multiple_of(base_ref[g * GROUP + j], 16)
+            return pltpu.make_async_copy(
+                a_any.at[pl.ds(base, RW), :], awin.at[j], sems.at[j])
+
         for j in range(GROUP):
-            pltpu.make_async_copy(
-                a_any.at[pl.ds(base_ref[g * GROUP + j], RW)],
-                awin.at[j], sems.at[j]).start()
+            a_dma(j).start()
         eye = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                ).astype(jnp.float32)
         for j in range(GROUP):
-            pltpu.make_async_copy(
-                a_any.at[pl.ds(base_ref[g * GROUP + j], RW)],
-                awin.at[j], sems.at[j]).wait()
+            a_dma(j).wait()
             oh = (rel_ref[j, :].reshape(K, 1)
                   == jax.lax.broadcasted_iota(jnp.int32, (K, RW), 1)
                   ).astype(jnp.bfloat16)
+            # bf16 operands, f32 accumulator — Mosaic requires 32-bit
+            # matmul accumulators on hardware (bf16 acc fails
+            # verification); the one-hot makes the result exact anyway
             ea = jax.lax.dot_general(
                 oh, awin[j],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.bfloat16)      # [K, F]
-            prod = (ea.astype(jnp.float32)
-                    * gb_ref[j * K:(j + 1) * K, :].astype(jnp.float32))
+                preferred_element_type=jnp.float32)       # [K, F]
+            prod = ea * gb_ref[j * K:(j + 1) * K, :].astype(jnp.float32)
             s = jnp.sum(prod, axis=1, keepdims=True)      # [K, 1]
             sb = jnp.broadcast_to(s, (K, LANES))
             for c in range(SUBK):
@@ -164,7 +172,7 @@ def flat_sddmm_pallas(csr, block_atoms: int = 1024, rw_cap: int = 1024,
             in_specs=[
                 pl.BlockSpec((GS, Fp), lambda g, base: (g, 0)),
                 pl.BlockSpec((GROUP, K), lambda g, base: (g, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((GROUP * SUBK, LANES),
                                    lambda g, base: (g, 0)),
