@@ -44,9 +44,14 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-from loops_tpu.utils.platform import ensure_platform  # noqa: E402
+from loops_tpu.utils.platform import (  # noqa: E402
+    enable_compilation_cache,
+    ensure_platform,
+)
 
 ensure_platform()
+enable_compilation_cache()  # no-op on CPU; steady-state timings are
+#                             slope-based so caching never distorts them
 
 
 def build_block_sparse(N=4096, R=8, C=128, block_density=0.06, seed=0):
@@ -403,8 +408,12 @@ def main():
         dims = [data.features.shape[1], 128, 128, data.num_classes]
         # throughput mode: schedule="auto" + bf16 routes the aggregation
         # through the flat merge-path Pallas SpMM fwd AND bwd (custom
-        # VJP; identical loss trace, docs/experimentation.md)
-        model = GCN(g, dims, dropout=0.5, dtype="bfloat16")
+        # VJP; identical loss trace, docs/experimentation.md);
+        # precompute_first hoists layer 1's propagation out of the step
+        # ((AX)W1 == A(XW1), X static across epochs): 6 -> 4 sparse
+        # aggregations per step
+        model = GCN(g, dims, dropout=0.5, dtype="bfloat16",
+                    precompute_first=True)
         p0 = model.init(jax.random.PRNGKey(0))
         opt = optax.adam(1e-2)
         step = jax.jit(T.make_train_step(model, opt, data.features,

@@ -43,10 +43,12 @@ class GCN:
 
     def __init__(self, graph: Graph, dims, dropout: float = 0.5,
                  schedule: str = "auto", impl: str = "xla",
-                 remat: bool = False, dtype=None):
+                 remat: bool = False, dtype=None,
+                 precompute_first: bool = False):
         self.dims = list(dims)
         self.dropout = dropout
         self.remat = remat
+        self.precompute_first = precompute_first
         self.propagate = aggregate_operator(graph, op="gcn",
                                             schedule=schedule, impl=impl,
                                             dtype=dtype)
@@ -54,22 +56,39 @@ class GCN:
     def init(self, key):
         return init_gcn(key, self.dims)
 
+    def prepare_features(self, features):
+        """Optional one-time input transform consumed by the training
+        helpers (models/train.py). With ``precompute_first=True`` the
+        first layer's propagation is hoisted out of the step entirely:
+        ``A(XW1) == (AX)W1`` and X is static across epochs, so AX is
+        computed ONCE here and layer 1 becomes a dense matmul — a
+        3-layer step drops from 6 sparse aggregations (fwd+bwd) to 4.
+        Exact up to float reassociation; our GCN applies no input
+        dropout, so semantics are unchanged (the SGC/SIGN-style
+        precompute, applied to one layer only).
+        """
+        if not self.precompute_first:
+            return features
+        import jax.numpy as jnp
+        return self.propagate._fn(jnp.asarray(features))
+
     def apply(self, params, h, *, train: bool = False, rng=None):
         import jax
         import jax.numpy as jnp
 
         prop = self.propagate._fn  # jit-compiled SpMM closure
 
-        def layer_fn(layer, h):
-            return prop(h @ layer["w"]) + layer["b"]
+        def layer_fn(layer, h, skip_prop=False):
+            hw = h @ layer["w"]
+            return (hw if skip_prop else prop(hw)) + layer["b"]
 
         if self.remat:
             # trade recompute for activation memory (HBM is the usual
             # bottleneck when N x hidden no longer fits alongside grads)
-            layer_fn = jax.checkpoint(layer_fn)
+            layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
 
         for i, layer in enumerate(params):
-            h = layer_fn(layer, h)
+            h = layer_fn(layer, h, i == 0 and self.precompute_first)
             if i + 1 < len(params):
                 h = jax.nn.relu(h)
                 if train and self.dropout > 0:

@@ -36,6 +36,11 @@ def make_train_step(model, optimizer, features, labels, train_mask,
     import optax
 
     features = jnp.asarray(features)
+    # models may hoist static input work out of the step (e.g. GCN's
+    # precompute_first: AX once, ahead of every epoch)
+    prep = getattr(model, "prepare_features", None)
+    if prep is not None:
+        features = prep(features)
     labels = jnp.asarray(labels)
     train_mask = jnp.asarray(train_mask)
 
@@ -94,5 +99,9 @@ def evaluate(model, params, features, labels, mask):
     if ap is None:
         ap = jax.jit(model.apply)
         model._jit_apply = ap
-    logits = ap(params, jnp.asarray(features))
+    feats = jnp.asarray(features)
+    prep = getattr(model, "prepare_features", None)
+    if prep is not None:
+        feats = prep(feats)
+    logits = ap(params, feats)
     return float(accuracy(logits, jnp.asarray(labels), jnp.asarray(mask)))

@@ -46,6 +46,8 @@ def run_one(ds, model_name, mode, epochs, lr, hidden, seed):
     elif mode == "exact":
         kw = dict(schedule="group_mapped", impl="xla")
     if model_name == "gcn":
+        if mode == "throughput":
+            kw["precompute_first"] = True   # (AX)W1 hoist, exact
         model = GCN(ds.graph, dims, dropout=0.5, **kw)
     else:
         if "dtype" in kw:

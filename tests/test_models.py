@@ -333,3 +333,48 @@ def test_aggregate_operator_flat_pallas_matches_group_mapped():
     flat = np.asarray(aggregate_operator(
         g, schedule="merge_path", impl="pallas", custom_vjp=False)(h))
     assert np.allclose(flat, base, atol=1e-4, rtol=1e-4)
+
+
+def test_gcn_precompute_first_matches():
+    """precompute_first hoists layer-1 propagation: (AX)W1 == A(XW1);
+    forward and loss must match the plain model exactly (float-reassoc
+    tolerance)."""
+    import jax
+    import numpy as np
+
+    from loops_tpu.models import GCN
+    from loops_tpu.models.graph import Graph
+
+    rng = np.random.default_rng(3)
+    n = 120
+    g = Graph.from_edges(rng.integers(0, n, 600), rng.integers(0, n, 600),
+                         n, make_undirected=True)
+    feats = rng.normal(size=(n, 16)).astype(np.float32)
+
+    base = GCN(g, [16, 24, 8], dropout=0.0)
+    fast = GCN(g, [16, 24, 8], dropout=0.0, precompute_first=True)
+    params = base.init(jax.random.PRNGKey(0))
+
+    out_base = np.asarray(base.apply(params, feats))
+    out_fast = np.asarray(fast.apply(params, fast.prepare_features(feats)))
+    err = np.abs(out_base - out_fast).max() / max(np.abs(out_base).max(),
+                                                  1e-9)
+    assert err < 1e-5, err
+
+    # through the training helpers (prepare_features is picked up)
+    import optax
+
+    from loops_tpu.models import train as T
+
+    labels = rng.integers(0, 8, n)
+    mask = np.ones(n, np.float32)
+    opt = optax.adam(1e-2)
+    step = jax.jit(T.make_train_step(fast, opt, feats, labels, mask))
+    st = opt.init(params)
+    p2, st2, r2, loss = step(params, st, jax.random.PRNGKey(1))
+    step_b = jax.jit(T.make_train_step(base, opt, feats, labels, mask))
+    _, _, _, loss_b = step_b(params, st, jax.random.PRNGKey(1))
+    assert abs(float(loss) - float(loss_b)) < 1e-5
+    acc = T.evaluate(fast, params, feats, labels, mask)
+    acc_b = T.evaluate(base, params, feats, labels, mask)
+    assert abs(acc - acc_b) < 1e-9
