@@ -306,10 +306,12 @@ def main():
         log(f"# spmv merge-path: {m:.3f} ms ({csr_v.nnz:,} nnz)")
 
         # sorted-gather CSR SpMV (schedule='sorted_flat'): the kernel
-        # that beats the scalar-gather floor on the same regime
+        # that beats the scalar-gather floor on the same regime.
+        # Long chains: at ~1 ms/apply the default hi=20 delta (~16 ms)
+        # sits below the ~25 ms dispatch-RTT noise floor
         op_s = SpMVOperator(csr_v, "sorted_flat")
         _ = np.asarray(op_s._fn(x))
-        m, md = slope_chain_ms(op_s._fn, x, repeats=3)
+        m, md = slope_chain_ms(op_s._fn, x, lo=104, hi=404, repeats=3)
         extras.append({"metric": "spmv_sorted_ms",
                        "value": round(m, 4), "unit": "ms",
                        "nnz": int(csr_v.nnz), "ms_median": round(md, 4)})
