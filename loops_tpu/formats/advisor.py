@@ -29,6 +29,13 @@ import numpy as np
 # so the break-evens below move little across chips.
 GATHER_NS = 2.5
 
+# Round-3 CSR SpMV cost: choose_schedule routes CSR through the
+# sorted-gather Pallas kernel (ops/kernels/spmv_sorted.py), whose
+# in-register shuffles replace the per-index issues — measured
+# 1.12 ms at 4.39M nnz on v5e (bench r3) ≈ 0.26 ns/nnz.  ELL keeps the
+# XLA-tier per-cell cost (its padded plane gathers don't sort).
+CSR_SORTED_NS = 0.26
+
 # BCSR break-even block fill measured end-to-end on v5e (grouped
 # block-sparse Pallas kernel vs merge-path CSR at matched nnz); below
 # this the dense-block stream costs more than the gathers it removes.
@@ -126,7 +133,7 @@ def advise(csr, hbm_gbps: float | None = None,
     ell_waste = ell_cells / nnz
 
     est_ms = {
-        "csr": nnz * GATHER_NS * 1e-6,
+        "csr": nnz * CSR_SORTED_NS * 1e-6,
         "ell": ell_cells * GATHER_NS * 1e-6,
         "dia": dia_cells * stream * 1e-6,
         "bcsr": nblocks * (GATHER_NS + R * C * stream) * 1e-6,
@@ -147,8 +154,11 @@ def advise(csr, hbm_gbps: float | None = None,
     if bcsr_fill >= BCSR_MIN_FILL and est_ms["bcsr"] < est_ms["csr"]:
         candidates["bcsr"] = est_ms["bcsr"]
     best = min(candidates, key=candidates.get)
-    if best == "csr" and ell_waste <= ELL_MAX_WASTE:
-        # same gather count as CSR but plan-free static layout
+    if (best == "csr" and ell_waste <= ELL_MAX_WASTE
+            and est_ms["ell"] <= est_ms["csr"] * 1.25):
+        # plan-free static layout, within the 25% overhead budget —
+        # with the sorted-gather CSR kernel this rarely fires anymore
+        # (ELL's padded plane pays XLA-tier per-cell gathers)
         best = "ell"
     adv.recommended = best
     adv.why = {
