@@ -34,7 +34,37 @@ GATHER_NS = 2.5
 # in-register shuffles replace the per-index issues — measured
 # 1.12 ms at 4.39M nnz on v5e (bench r3) ≈ 0.26 ns/nnz.  ELL keeps the
 # XLA-tier per-cell cost (its padded plane gathers don't sort).
+# ``_csr_ns_per_nnz`` applies this only inside the sorted kernel's
+# envelope; outside it (wide x past the resident cap, column-scattered
+# chunk padding, f64 values) the kernel refuses and the operator falls
+# back to the ~GATHER_NS XLA tier, so the estimate must too.
 CSR_SORTED_NS = 0.26
+
+# sorted-kernel envelope mirrors (ops/kernels/spmv_sorted.py defaults)
+_SORTED_X_CAP_COLS = 8192 * 128     # x_sublanes_cap * LANES
+_SORTED_SPAN_COLS = 768 * 128       # span_cap sublanes, in columns
+_SORTED_PAD_CAP = 4.0
+_SORTED_BLOCK_ATOMS = 8 * 8 * 128   # vregs_per_block * 8 * LANES
+
+
+def _csr_ns_per_nnz(csr) -> float:
+    """Per-nnz CSR SpMV estimate matching the kernel that will run:
+    the sorted-gather rate inside its envelope, the XLA gather floor
+    outside it (advisor must not recommend CSR over BCSR/DIA in the
+    regimes where the fast kernel refuses)."""
+    if np.dtype(csr.vals.dtype) == np.float64:
+        return GATHER_NS            # pallas3 stages f32; f64 -> XLA tier
+    if csr.cols > _SORTED_X_CAP_COLS:
+        return GATHER_NS            # x exceeds the resident-x cap
+    nnz = max(csr.nnz, 1)
+    # chunk population if span_cap binds: atoms per (block, span window)
+    k_eff = min(_SORTED_BLOCK_ATOMS, nnz)
+    per_chunk = min(1024.0,
+                    k_eff * _SORTED_SPAN_COLS / max(csr.cols, 1))
+    pad = 1024.0 / max(per_chunk, 1e-9)
+    if pad > _SORTED_PAD_CAP and pad * nnz > 1 << 20:
+        return GATHER_NS            # column-scattered: pad_cap refusal
+    return CSR_SORTED_NS
 
 # BCSR break-even block fill measured end-to-end on v5e (grouped
 # block-sparse Pallas kernel vs merge-path CSR at matched nnz); below
@@ -133,7 +163,7 @@ def advise(csr, hbm_gbps: float | None = None,
     ell_waste = ell_cells / nnz
 
     est_ms = {
-        "csr": nnz * CSR_SORTED_NS * 1e-6,
+        "csr": nnz * _csr_ns_per_nnz(csr) * 1e-6,
         "ell": ell_cells * GATHER_NS * 1e-6,
         "dia": dia_cells * stream * 1e-6,
         "bcsr": nblocks * (GATHER_NS + R * C * stream) * 1e-6,

@@ -39,6 +39,17 @@ class GCN:
     The propagation operator is built once from the GCN-normalized
     adjacency; ``apply`` is a pure function of (params, features) and is
     safe to jit/grad/shard.
+
+    .. warning:: With ``precompute_first=True``, ``apply`` expects
+       *prepared* features — ``prepare_features(X) == A @ X`` — and
+       skips layer 1's propagation accordingly. Calling
+       ``apply(params, X)`` with **raw** features in that mode returns
+       wrong logits with no error. The training helpers
+       (``models/train.py``) call ``prepare_features`` for you; do the
+       same in custom loops:
+
+           h0 = model.prepare_features(X)   # once, outside the step
+           logits = model.apply(params, h0)
     """
 
     def __init__(self, graph: Graph, dims, dropout: float = 0.5,
@@ -73,6 +84,9 @@ class GCN:
         return self.propagate._fn(jnp.asarray(features))
 
     def apply(self, params, h, *, train: bool = False, rng=None):
+        """Forward pass. With ``precompute_first=True``, ``h`` must be
+        the output of :meth:`prepare_features`, NOT the raw feature
+        matrix (see the class docstring warning)."""
         import jax
         import jax.numpy as jnp
 

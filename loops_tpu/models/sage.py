@@ -28,11 +28,16 @@ def init_sage(key, dims):
 
 class GraphSAGE:
     def __init__(self, graph: Graph, dims,
-                 schedule: str = "auto", impl: str = "xla"):
+                 schedule: str = "auto", impl: str = "xla", dtype=None):
+        """``dtype="bfloat16"`` selects the throughput aggregation mode
+        (bf16 operand rounding, f32 accumulation) and lets
+        ``schedule="auto"`` route to the flat Pallas SpMM on TPU — the
+        same contract as GCN's ``dtype``."""
         self.graph = graph
         self.dims = list(dims)
         self.aggregate = aggregate_operator(graph, op="mean",
-                                            schedule=schedule, impl=impl)
+                                            schedule=schedule, impl=impl,
+                                            dtype=dtype)
 
     def init(self, key):
         return init_sage(key, self.dims)

@@ -134,6 +134,14 @@ def flat_spmv_pallas_v2(csr, plan, interpret: bool | None = None,
     if bucketed:
         R = min(LANES * pow2(R // LANES), 4096)
         S2 = LANES * pow2(S // LANES)
+        if S2 * R > 1 << 22:
+            # the pow2 inflation can re-enter the compile-blowup regime
+            # the pre-bucketing check above guards (up to ~4x past the
+            # cap); re-apply the envelope to the inflated shapes
+            raise ValueError(
+                f"bucketed extraction product S*R = {S2}*{R} exceeds "
+                "the v2 kernel's compile envelope; use impl='pallas3' "
+                "or the XLA path")
         if S2 > S:
             def widen(a, fill=0):
                 out = np.full(a.shape[:-1] + (S2,), fill, a.dtype)

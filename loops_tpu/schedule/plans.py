@@ -259,6 +259,19 @@ HEURISTIC_THRESHOLDS = {
     "group": "sorted_flat",  # skewed tiles
 }
 
+# The sorted_flat picks above are fitted ON-CHIP (v5e). Off-TPU the
+# sorted kernel runs in Pallas interpret mode (~70x slower steady-state
+# than row_mapped XLA on CPU, plus multi-second plan/build), so 'auto'
+# resolves through this legacy four-schedule table instead — the same
+# regime logic the round-2 sweep fitted before sorted_flat existed.
+HEURISTIC_THRESHOLDS_XLA = {
+    "ratio": 1.25,
+    "cv": 0.125,
+    "small": 0.0,
+    "flat": "work_oriented",
+    "group": "group_mapped",
+}
+
 
 def choose_schedule(layout: Layout, thresholds: dict | None = None) -> str:
     """Heuristic schedule selection — the TPU analog of the reference's
@@ -273,7 +286,12 @@ def choose_schedule(layout: Layout, thresholds: dict | None = None) -> str:
       * otherwise -> the flat schedule (bounded blocks, Pallas-
         friendly); the sweep picked work_oriented over merge_path
     """
-    t = thresholds or HEURISTIC_THRESHOLDS
+    if thresholds is not None:
+        t = thresholds
+    else:
+        import jax
+        t = (HEURISTIC_THRESHOLDS if jax.default_backend() == "tpu"
+             else HEURISTIC_THRESHOLDS_XLA)
     sizes = layout.tile_sizes()
     if layout.num_tiles == 0 or layout.num_atoms == 0:
         return "row_mapped"

@@ -50,8 +50,6 @@ def run_one(ds, model_name, mode, epochs, lr, hidden, seed):
             kw["precompute_first"] = True   # (AX)W1 hoist, exact
         model = GCN(ds.graph, dims, dropout=0.5, **kw)
     else:
-        if "dtype" in kw:
-            kw.pop("dtype")   # SAGE's mean aggregation: schedule only
         model = GraphSAGE(ds.graph, dims, **kw)
 
     params = model.init(jax.random.PRNGKey(seed))

@@ -132,13 +132,33 @@ def test_auto_schedule_selection():
     from loops_tpu.layout import CsrLayout
     from loops_tpu.schedule.plans import choose_schedule
 
+    from loops_tpu.schedule.plans import (
+        HEURISTIC_THRESHOLDS, HEURISTIC_THRESHOLDS_XLA,
+    )
+
     # the round-3 full-sweep fit picks sorted_flat across both the skew
     # and flat branches (oracle winner on 111/113 battery matrices);
-    # the small-tile branch is fitted shut (small=0)
+    # the small-tile branch is fitted shut (small=0).  The fit is
+    # on-chip: backendless default resolution picks the fitted table on
+    # TPU and the legacy four-schedule table elsewhere (interpret-mode
+    # Pallas would regress CPU 'auto' users ~70x)
     skewed = generate.skewed_csr(20, 40, heavy_rows=1, heavy_nnz=30)
-    assert choose_schedule(CsrLayout.from_csr(skewed)) == "sorted_flat"
+    assert choose_schedule(CsrLayout.from_csr(skewed),
+                           HEURISTIC_THRESHOLDS) == "sorted_flat"
     medium = generate.banded_csr(40, 40, band=8)
-    assert choose_schedule(CsrLayout.from_csr(medium)) == "sorted_flat"
+    assert choose_schedule(CsrLayout.from_csr(medium),
+                           HEURISTIC_THRESHOLDS) == "sorted_flat"
+    import jax
+    expect_skew, expect_flat = (
+        ("sorted_flat", "sorted_flat")
+        if jax.default_backend() == "tpu"
+        else (HEURISTIC_THRESHOLDS_XLA["group"],
+              HEURISTIC_THRESHOLDS_XLA["flat"]))
+    assert choose_schedule(CsrLayout.from_csr(skewed)) == expect_skew
+    # tridiag is uniform enough to stay on the flat branch under both
+    # tables (banded_csr's edge rows trip the cv skew test off-TPU)
+    flat_mat = generate.tridiag_csr(30)
+    assert choose_schedule(CsrLayout.from_csr(flat_mat)) == expect_flat
     # the pre-fit structural branches stay exercisable via explicit
     # thresholds (the reference-analog defaults)
     legacy = dict(ratio=2.0, cv=0.5, small=4.0, flat="work_oriented")
