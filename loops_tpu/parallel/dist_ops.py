@@ -34,13 +34,25 @@ class DistSpMM:
     onto the mesh.
     """
 
-    def __init__(self, plan: EdgePartition, mesh):
+    def __init__(self, plan: EdgePartition, mesh,
+                 feature_axis: str | None = None):
+        """``feature_axis`` names a second mesh axis (e.g. ``"model"``
+        from ``make_mesh_2d``) sharding the feature dimension: SpMM is
+        embarrassingly parallel over F, so each model rank reduces its
+        own F-slice with zero feature-axis communication — the wide-F
+        mode (F >= 512) where one chip's F-slice of the gathered table
+        halves/quarters per rank."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.plan = plan
         self.mesh = mesh
+        self.feature_axis = feature_axis
+        if feature_axis is not None and feature_axis not in mesh.axis_names:
+            raise ValueError(
+                f"feature_axis {feature_axis!r} not in mesh axes "
+                f"{mesh.axis_names}")
         shard = NamedSharding(mesh, P("graph"))
         self.offsets = jax.device_put(jnp.asarray(plan.offsets), shard)
         self.indices = jax.device_put(jnp.asarray(plan.indices_padded),
@@ -60,7 +72,7 @@ class DistSpMM:
         R = self.plan.rows_per_dev
 
         def local(offs, idx, vals, h):
-            # offs [1, R+1], idx/vals [1, E], h [1, R, F]
+            # offs [1, R+1], idx/vals [1, E], h [1, R, F-slice]
             h_full = jax.lax.all_gather(h[0], "graph", axis=0,
                                         tiled=True)          # [P*R, F]
             atoms = jnp.arange(E, dtype=jnp.int32)
@@ -71,12 +83,14 @@ class DistSpMM:
                                       indices_are_sorted=True)
             return out[None]
 
+        h_spec = (P("graph", None, self.feature_axis)
+                  if self.feature_axis else P("graph"))
         # buffers ride as jit arguments, not closure constants (closure
         # capture bakes them into the HLO — see ops/spmv.py docstring)
         return shard_map(
             local, mesh=self.mesh,
-            in_specs=(P("graph"), P("graph"), P("graph"), P("graph")),
-            out_specs=P("graph"),
+            in_specs=(P("graph"), P("graph"), P("graph"), h_spec),
+            out_specs=h_spec,
             check_vma=False,
         )
 
@@ -97,6 +111,15 @@ def _build_propagate(plan, mesh, exchange: str, overlap: bool):
     if exchange == "halo":
         from loops_tpu.parallel.halo import DistSpMMHalo, HaloPlan
         return DistSpMMHalo(HaloPlan.build(plan), mesh, overlap=overlap)
+    if exchange == "hier":
+        from loops_tpu.parallel.hier import DistSpMMHier, HierHaloPlan
+        if tuple(mesh.axis_names) != ("host", "chip"):
+            raise ValueError(
+                'exchange="hier" needs a ("host", "chip") mesh '
+                "(parallel.mesh.make_mesh_hier)")
+        hosts, chips = (int(mesh.shape["host"]),
+                        int(mesh.shape["chip"]))
+        return DistSpMMHier(HierHaloPlan.build(plan, hosts, chips), mesh)
     if exchange == "all_gather":
         return DistSpMM(plan, mesh)
     raise ValueError(f"unknown exchange {exchange!r}")

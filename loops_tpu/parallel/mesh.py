@@ -21,8 +21,24 @@ def make_mesh(n_devices: int | None = None, axis: str = "graph"):
 
 
 def make_mesh_2d(graph: int, model: int):
+    """2-D mesh sharding graph rows x feature (model) dims — for wide-F
+    distributed SpMM where each model rank owns an F-slice (see
+    DistSpMM's ``feature_axis``)."""
     import jax
     from jax.sharding import Mesh
 
     devs = np.array(jax.devices()[: graph * model]).reshape(graph, model)
     return Mesh(devs, ("graph", "model"))
+
+
+def make_mesh_hier(hosts: int, chips: int):
+    """Hierarchical (host x chip) mesh for the two-stage DCN/ICI halo
+    exchange (parallel/hier.py). On a real pod, jax.devices() orders
+    devices host-major, so reshaping (hosts, chips) puts each row of
+    the mesh on one physical host: the "chip" axis rides ICI, the
+    "host" axis rides DCN."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[: hosts * chips]).reshape(hosts, chips)
+    return Mesh(devs, ("host", "chip"))
