@@ -96,6 +96,47 @@ def few_heavy(rows, cols, heavy_rows, heavy_deg, light_deg=2, seed=0):
     return _dedupe_coo(rows, cols, r, c, seed + 1)
 
 
+def rmat(n, avg_deg, a=0.57, b=0.19, c=0.19, seed=0):
+    """Stochastic-Kronecker (R-MAT) sampler — the Graph500 heavy-tail
+    generator. Each edge picks one quadrant per bit level with
+    probabilities [a, b, c, 1-a-b-c]; the classic (0.57, 0.19, 0.19)
+    parameters give the hub-plus-fractal-tail structure real web/social
+    SuiteSparse graphs show, which the zipf ``powerlaw`` family (smooth
+    tail, uniform columns) does not. Fully vectorized: log2(n) rounds
+    over all m edges."""
+    rng = np.random.default_rng(seed)
+    levels = int(np.log2(n))
+    if 1 << levels != n:
+        raise ValueError(f"rmat needs power-of-two n, got {n}")
+    m = n * avg_deg
+    r = np.zeros(m, np.int64)
+    col = np.zeros(m, np.int64)
+    pr = a + b          # P(top half for rows)
+    pc_top = a / (a + b)      # P(left | top)
+    pc_bot = c / max(1.0 - a - b, 1e-12)  # P(left | bottom)
+    for _ in range(levels):
+        u = rng.random(m)
+        v = rng.random(m)
+        top = u < pr
+        left = v < np.where(top, pc_top, pc_bot)
+        r = (r << 1) | (~top).astype(np.int64)
+        col = (col << 1) | (~left).astype(np.int64)
+    return _dedupe_coo(n, n, r, col, seed + 1)
+
+
+def lognormal_config(n, avg_deg, sigma=1.5, seed=0):
+    """Configuration-model graph with log-normal out-degrees — the
+    degree-moment profile of many real SuiteSparse matrices (heavy but
+    not zipf-straight tails; matches the mid-body mass the rmat family
+    under-produces)."""
+    rng = np.random.default_rng(seed)
+    deg = rng.lognormal(mean=0.0, sigma=sigma, size=n)
+    deg = np.maximum((deg / deg.mean() * avg_deg).astype(np.int64), 0)
+    r = np.repeat(np.arange(n, dtype=np.int64), deg)
+    c = rng.integers(0, n, len(r))
+    return _dedupe_coo(n, n, r, c, seed + 1)
+
+
 def diagonal(n, ndiags, seed=0):
     offs = np.unique(np.concatenate(
         [[0], np.random.default_rng(seed).integers(-n // 2, n // 2,
@@ -154,6 +195,30 @@ def battery(max_rows: int = 65536) -> dict:
         if max(r, c) <= max_rows:
             add(f"rect_{r}x{c}",
                 lambda r=r, c=c: uniform(r, c, 16, seed=r))
+    # heavy-tail families approaching real SuiteSparse structure
+    # (round-4: the reference's 4,831-matrix sweep is dominated by
+    # web/social/circuit graphs with fractal hub tails; rmat is the
+    # standard surrogate, lognormal covers the mid-body moments)
+    for n in [s for s in (8192, 32768, 65536) if s <= max_rows]:
+        for d in (8, 32):
+            for tag, a in (("g500", 0.57), ("mild", 0.45)):
+                for seed in (0, 1):
+                    add(f"rmat_n{n}_d{d}_{tag}_s{seed}",
+                        lambda n=n, d=d, a=a, seed=seed: rmat(
+                            n, d, a=a, b=0.19, c=0.19,
+                            seed=n + d + seed))
+    for n in [s for s in (8192, 32768) if s <= max_rows]:
+        for seed in (0, 1):
+            add(f"rmat_n{n}_d128_g500_s{seed}",
+                lambda n=n, seed=seed: rmat(n, 128, seed=n + seed))
+    for n in [s for s in (8192, 32768) if s <= max_rows]:
+        for d in (8, 32):
+            for sg in (1.0, 2.0):
+                add(f"lgn_n{n}_d{d}_s{sg}",
+                    lambda n=n, d=d, sg=sg: lognormal_config(
+                        n, d, sigma=sg, seed=n + d))
+        add(f"lgn_n{n}_d16_s3.0",
+            lambda n=n: lognormal_config(n, 16, sigma=3.0, seed=n))
     return mats
 
 
