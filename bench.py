@@ -309,13 +309,22 @@ def main():
         # that beats the scalar-gather floor on the same regime.
         # Long chains: at ~1 ms/apply the default hi=20 delta (~16 ms)
         # sits below the ~25 ms dispatch-RTT noise floor
+        tb = time.perf_counter()
         op_s = SpMVOperator(csr_v, "sorted_flat")
+        build_ms = (time.perf_counter() - tb) * 1e3
+        # host plan cost (sort + chunk + Benes route, excl. upload) —
+        # the preprocess the reference's returned timer separates out
+        # (merge_path_flat.cuh:97-138); amortized over every apply
+        plan_ms = op_s.meta.get("plan_ms", -1.0)
         _ = np.asarray(op_s._fn(x))
         m, md = slope_chain_ms(op_s._fn, x, lo=104, hi=404, repeats=3)
         extras.append({"metric": "spmv_sorted_ms",
                        "value": round(m, 4), "unit": "ms",
-                       "nnz": int(csr_v.nnz), "ms_median": round(md, 4)})
-        log(f"# spmv sorted-flat: {m:.3f} ms ({csr_v.nnz:,} nnz)")
+                       "nnz": int(csr_v.nnz), "ms_median": round(md, 4),
+                       "plan_ms": round(float(plan_ms), 1),
+                       "build_ms_incl_upload": round(build_ms, 1)})
+        log(f"# spmv sorted-flat: {m:.3f} ms ({csr_v.nnz:,} nnz; "
+            f"plan {float(plan_ms):.0f} ms host)")
 
         # BCSR register-accumulate SpMV, same matrix family as the SpMM
         csr_b, bcsr_b = build_block_sparse(N=32768, R=8, C=128,

@@ -143,6 +143,9 @@ class SpMVOperator:
         self.rows, self.cols = mat.shape
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
         self._bufs, fn = builder(mat, schedule, block, impl)
+        # kernel-reported plan metadata (e.g. the sorted kernel's
+        # plan_ms/span/pad_ratio) survives on the operator
+        self.meta = dict(getattr(fn, "meta", {}) or {})
         self._jit = jax.jit(fn)
         self._fn = lambda x: self._jit(self._bufs, x)
 

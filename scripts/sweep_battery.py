@@ -193,7 +193,9 @@ def main(argv=None):
                 import warnings
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore")
+                    tb = time.perf_counter()
                     op = _build_op(csr, sched, impl)
+                    plan_ms = (time.perf_counter() - tb) * 1e3
                 y = np.asarray(op._fn(x))
                 if ref is None:
                     from loops_tpu.utils import reference
@@ -202,7 +204,11 @@ def main(argv=None):
                 if err > 1e-2:
                     raise ValueError(f"mismatch {err:.2e}")
                 ms = time_op(op, x)
-                logs[sched].write(f"{sched},{name},{row},{ms:.5f}\n")
+                # 7th column: host plan/build cost (the reference's
+                # preprocess-vs-kernel separation, merge_path_flat.cuh:
+                # 97-138); consumers index cols 0-5 so it is additive
+                logs[sched].write(
+                    f"{sched},{name},{row},{ms:.5f},{plan_ms:.2f}\n")
                 logs[sched].flush()
                 print(f"[{i+1}/{len(names)}] {name} {sched}: {ms:.4f} ms "
                       f"(wall {time.time()-t0:.0f}s)", flush=True)
