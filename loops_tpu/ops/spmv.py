@@ -121,7 +121,7 @@ class SpMVOperator:
 
     def __init__(self, mat, schedule: str = "row_mapped",
                  block: int | None = None, impl: str = "xla",
-                 bucketed: bool = False):
+                 bucketed: bool = False, reorder: str | None = None):
         import jax
 
         if block is None:
@@ -135,7 +135,39 @@ class SpMVOperator:
             raise ValueError(
                 f"unknown schedule {schedule!r}; expected one of "
                 f"{SCHEDULES + ('sorted_flat', 'auto')}")
+        # plan-time symmetric reorder (layout/reorder.py): 'degree'
+        # tightens the sorted kernel's chunk padding 15-30% on skewed
+        # matrices (plots/data/reorder.csv). The permutation folds into
+        # the operator as in-graph x/y gathers (~0.28 ms at n=32k), so
+        # it only pays off for matrices near the pad_cap envelope —
+        # default off; the gather-bound XLA/SpMM paths measurably do
+        # NOT benefit (docs/concepts/tpu-performance.md §1).
+        self._perm = None
+        if reorder is not None:
+            from loops_tpu.formats import CSR
+            from loops_tpu.layout.reorder import (
+                bfs_order,
+                degree_order,
+                inverse_permutation,
+                permute_csr,
+            )
+            if not isinstance(mat, CSR):
+                raise ValueError("reorder= implements CSR only")
+            if mat.shape[0] != mat.shape[1]:
+                raise ValueError(
+                    "reorder= is a symmetric (square) permutation")
+            if reorder == "degree":
+                perm = degree_order(mat)
+            elif reorder == "bfs":
+                perm = bfs_order(mat)
+            else:
+                raise ValueError(
+                    f"unknown reorder {reorder!r}; 'degree' or 'bfs'")
+            self._perm = perm
+            self._inv = inverse_permutation(perm)
+            mat = permute_csr(mat, perm)
         self.mat = mat
+        self.reorder = reorder
         self.schedule = schedule
         self.impl = impl
         self.block = block
@@ -143,6 +175,18 @@ class SpMVOperator:
         self.rows, self.cols = mat.shape
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
         self._bufs, fn = builder(mat, schedule, block, impl)
+        if self._perm is not None:
+            import jax.numpy as jnp
+            inner = fn
+            perm_d = jnp.asarray(self._perm)
+            inv_d = jnp.asarray(self._inv)
+            self._bufs = dict(_inner=self._bufs, _perm=perm_d,
+                              _inv=inv_d)
+
+            def fn(b, x):
+                # y_orig[i] = y_perm[inv[i]];  x_perm[i] = x[perm[i]]
+                return inner(b["_inner"], x[b["_perm"]])[b["_inv"]]
+            fn.meta = getattr(inner, "meta", None)
         # kernel-reported plan metadata (e.g. the sorted kernel's
         # plan_ms/span/pad_ratio) survives on the operator
         self.meta = dict(getattr(fn, "meta", {}) or {})

@@ -78,7 +78,7 @@ def main(argv=None):
                 jf = jax.jit(fn)
                 jax.block_until_ready(jf(bufs, x))
                 ms = slope_ms(lambda a: a * 0 + x + jf(bufs, a)[0] * 0,
-                              x, lo=8, hi=24)
+                              x, lo=104, hi=504)
                 row = dict(matrix=name, order=order_name, nnz=csr.nnz,
                            bandwidth=bw, kernel_ms=round(ms, 4),
                            span=meta["span"],

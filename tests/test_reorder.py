@@ -47,3 +47,25 @@ def test_inverse_permutation():
     inv = inverse_permutation(perm)
     np.testing.assert_array_equal(perm[inv], np.arange(4))
     np.testing.assert_array_equal(inv[perm], np.arange(4))
+
+
+def test_spmv_operator_reorder_option():
+    """reorder='degree'/'bfs' permutes at plan time and folds the x/y
+    permutation into the operator — results match the unordered op."""
+    import numpy as np
+
+    from loops_tpu.ops.spmv import SpMVOperator
+    from loops_tpu.utils import generate, reference
+
+    csr = generate.skewed_csr(60, 60, heavy_rows=3, heavy_nnz=30, seed=5)
+    x = generate.make_input_vector(60, seed=6)
+    expect = reference.spmv(csr, x)
+    for order in ("degree", "bfs"):
+        op = SpMVOperator(csr, schedule="merge_path", impl="xla",
+                          reorder=order)
+        got = np.asarray(op(x))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+    # sorted_flat through the permuted plan
+    op = SpMVOperator(csr, schedule="sorted_flat", reorder="degree")
+    got = np.asarray(op(x))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
