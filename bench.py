@@ -448,6 +448,65 @@ def main():
     except Exception as e:
         log(f"# gcn sub-bench skipped: {type(e).__name__}: {e}")
 
+    try:
+        # GAT train step (fused grouped attention + custom VJP, bf16
+        # feature gathers) at scale 0.25 — full-scale compiles cost
+        # 10-20 min over the tunnel (full-scale numbers: README table,
+        # scripts/tpu_gat_bench.py)
+        import jax
+        import optax
+
+        from loops_tpu.io import ogb
+        from loops_tpu.models import GAT
+        from loops_tpu.models.train import cross_entropy
+
+        ds_g = ogb.load("ogbn-arxiv", scale=0.25)
+        gg = ds_g.graph
+        Cg = int(ds_g.labels.max()) + 1
+        Xg = jnp.asarray(np.random.default_rng(0).normal(
+            size=(gg.num_nodes, 128)).astype(np.float32))
+        yg = jnp.asarray(ds_g.labels)
+        mg = jnp.asarray(ds_g.train_mask.astype(np.float32))
+        gat = GAT(gg, [128, 64, Cg], heads=4, fused=True, vjp=True,
+                  dtype="bfloat16")
+        pg = gat.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        st = opt.init(pg)
+
+        def gat_loss(prm):
+            return cross_entropy(gat.apply(prm, Xg), yg, mg)
+
+        def gat_step(prm, st_, _):
+            loss, grads = jax.value_and_grad(gat_loss)(prm)
+            upd, st_ = opt.update(grads, st_, prm)
+            return optax.apply_updates(prm, upd), st_, loss
+
+        iters = 8
+
+        @jax.jit
+        def gat_chain(prm, st_):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, c: gat_step(c[0], c[1], c[2]),
+                (prm, st_, jnp.float32(0)))
+
+        r = gat_chain(pg, st)
+        _fetch(r[2])
+        t0 = time.perf_counter()
+        r = gat_chain(pg, st)
+        _fetch(r[2])
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        eps_g = gg.num_edges / (ms * 1e-3)
+        extras.append({"metric": "gat_train_edges_per_s",
+                       "value": round(eps_g / 1e6, 1),
+                       "unit": "M edges/s",
+                       "ms_per_step": round(ms, 2), "scale": 0.25,
+                       "nodes": int(gg.num_nodes),
+                       "edges": int(gg.num_edges), "heads": 4})
+        log(f"# gat train step (scale 0.25): {ms:.1f} ms "
+            f"({eps_g/1e6:.0f} M edges/s)")
+    except Exception as e:
+        log(f"# gat sub-bench skipped: {type(e).__name__}: {e}")
+
     print(json.dumps({"metric": "spmm_gflops",
                       "value": round(gflops, 1),
                       "unit": "GFLOP/s",
