@@ -275,6 +275,26 @@ def main():
                    "value": round(vs_stream_nominal, 4), "unit": "x",
                    "note": "round-1 traffic model at nominal bandwidth"})
 
+    # 3b — per-executable counters (the CUPTI-metrics analog, reference
+    # benchmarks/spmv/work_oriented.cu:37-44): XLA's compiled cost
+    # model (flops / bytes accessed) + wall time -> achieved rates
+    try:
+        from loops_tpu.utils.counters import achieved, compiled_counters
+        ctr = compiled_counters(op._jit, op._bufs, B)
+        ach = achieved(ctr, ms_min, hbm_gbps=params.hbm_gbps,
+                       peak_tflops=params.peak_tflops)
+        if ach:
+            extras.append({"metric": "spmm_counters",
+                           "flops": ctr.get("flops"),
+                           "bytes_accessed": ctr.get("bytes accessed"),
+                           **{k: round(v, 4) for k, v in ach.items()}})
+            log(f"# counters: {ctr.get('bytes accessed', 0)/1e6:.0f} MB "
+                f"accessed, achieved {ach.get('achieved_gbps', 0):.0f} "
+                f"GB/s ({ach.get('hbm_utilization', 0):.1%} of HBM), "
+                f"{ach.get('achieved_gflops', 0):.0f} GFLOP/s")
+    except Exception as e:
+        log(f"# counters skipped: {type(e).__name__}: {e}")
+
     # 4 — sub-benchmark family (NVBench-analog multi-config coverage)
     try:
         op_bf = SpMMOperator(bcsr, "row_mapped", impl="pallas3",

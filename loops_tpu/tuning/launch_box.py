@@ -30,14 +30,16 @@ class LaunchParams:
     matmul_dtype: str
     # approximate HBM bandwidth (GB/s) for roofline reporting
     hbm_gbps: float
+    # peak bf16 matmul throughput (TFLOP/s) for utilization reporting
+    peak_tflops: float = 197.0
 
 
 # substring match on jax Device.device_kind, first match wins
 _TABLE = (
     # v6 (Trillium): bigger VMEM, ~1.6 TB/s
-    ("v6", LaunchParams(2048, 512, (8, 128), "bfloat16", 1600.0)),
+    ("v6", LaunchParams(2048, 512, (8, 128), "bfloat16", 1600.0, 918.0)),
     # v5p: 95 GB HBM2e @ ~2.8 TB/s
-    ("v5p", LaunchParams(2048, 512, (8, 128), "bfloat16", 2765.0)),
+    ("v5p", LaunchParams(2048, 512, (8, 128), "bfloat16", 2765.0, 459.0)),
     # v5e / v5 lite: 16 GB @ ~819 GB/s — smaller tiles keep VMEM headroom
     # spmv_block sweep on the tunneled v5e (32k^2 / 4.3M nnz merge-path
     # Pallas v2): 17.3/15.7/14.1/13.3/12.9/12.8 ms at
@@ -45,16 +47,16 @@ _TABLE = (
     # issue floor); v1 one-hot prefers <=1024 (cost grows with K*R)
     # all three aliases name the same silicon (the tunneled chip reports
     # device_kind "TPU v5 lite"); keep the rows identical
-    ("v5 lite", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0)),
-    ("v5litepod", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0)),
-    ("v5e", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0)),
+    ("v5 lite", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0)),
+    ("v5litepod", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0)),
+    ("v5e", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0)),
     # v4: 32 GB @ 1.2 TB/s
-    ("v4", LaunchParams(1024, 256, (8, 128), "bfloat16", 1228.0)),
+    ("v4", LaunchParams(1024, 256, (8, 128), "bfloat16", 1228.0, 275.0)),
     # CPU test backend: tiny blocks so multi-block paths are exercised
-    ("cpu", LaunchParams(64, 128, (8, 128), "float32", 50.0)),
+    ("cpu", LaunchParams(64, 128, (8, 128), "float32", 50.0, 1.0)),
 )
 
-_FALLBACK = LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0)
+_FALLBACK = LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0, 197.0)
 
 
 def launch_params(device=None) -> LaunchParams:

@@ -49,3 +49,22 @@ def test_timer_and_chained():
 
     g = jax.jit(lambda x: jnp.sum(x, axis=0))  # shape-changing
     assert chained_ms_pair(g, x, iters=4) >= 0.0
+
+
+def test_compiled_counters_and_achieved():
+    """XLA cost-analysis counters + achieved-rate derivation (the
+    CUPTI-metrics analog, reference benchmarks/spmv/work_oriented.cu:
+    37-44)."""
+    import jax.numpy as jnp
+
+    from loops_tpu.utils.counters import achieved, compiled_counters
+
+    x = jnp.ones((256, 256))
+    c = compiled_counters(lambda a, b: a @ b, x, x)
+    if not c:  # backend without cost analysis: utility degrades to {}
+        assert achieved(c, 1.0) == {}
+        return
+    assert c.get("flops", 0) >= 2 * 256**3 * 0.9
+    a = achieved(c, 1.0, hbm_gbps=819.0, peak_tflops=197.0)
+    assert 0 < a["hbm_utilization"] < 1
+    assert 0 < a["mxu_utilization"] < 1
