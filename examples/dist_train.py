@@ -36,11 +36,20 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--exchange", default="all_gather",
-                   choices=["all_gather", "halo"])
+                   choices=["all_gather", "halo", "hier"])
+    p.add_argument("--hosts", type=int, default=2,
+                   help="host-axis size for --exchange hier")
     args = p.parse_args(argv)
 
     ds = ogb.load(args.dataset, scale=args.scale)
-    mesh = make_mesh()
+    if args.exchange == "hier":
+        import jax as _jax
+
+        from loops_tpu.parallel import make_mesh_hier
+        chips = len(_jax.devices()) // args.hosts
+        mesh = make_mesh_hier(args.hosts, chips)
+    else:
+        mesh = make_mesh()
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     print(f"dataset={ds.name} nodes={ds.graph.num_nodes:,} "
           f"edges={ds.graph.num_edges:,} devices={n_dev} "
