@@ -126,6 +126,27 @@ def main(argv=None):
                   f"{ag_bytes/args.ici_gbps/1e6:7.3f} "
                   f"{max(halo_bytes, halo_pad)/args.ici_gbps/1e6:8.3f} "
                   f"{frac:15.1%}")
+
+        # the DCN term (docs/multichip.md): hierarchical host x chip
+        # exchange volumes at every (hosts, chips) factorization
+        from loops_tpu.parallel import HierHaloPlan
+        print("\nhierarchical DCN/ICI volume model "
+              "(total rows x F x 4B per layer):")
+        print(f"{'mesh':>8} {'DCN flat MB':>12} {'DCN hier MB':>12} "
+              f"{'dedup':>7} {'ICI MB':>8}")
+        P_all = counts[-1]
+        hosts = 2
+        while hosts < P_all:
+            part = EdgePartition.build(csr, P_all)
+            hier = HierHaloPlan.build(part, hosts, P_all // hosts)
+            st = hier.volume_stats()
+            mb = F * 4 / 1e6
+            print(f"{hosts}x{P_all//hosts:>2}   "
+                  f"{st['dcn_flat_rows']*mb:12.1f} "
+                  f"{st['dcn_hier_rows']*mb:12.1f} "
+                  f"{st['dcn_dedup_factor']:7.2f} "
+                  f"{st['ici_rows']*mb:8.1f}")
+            hosts *= 2
         return 0
 
     results = {}
