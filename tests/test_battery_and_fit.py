@@ -85,3 +85,27 @@ def test_fit_heuristic_runs_on_fake_logs(tmp_path, capsys):
                   else "merge_path")
         assert cells[3 + len(fit_heuristic.SCHEDS)] == expect
         assert bool(cells[-1]) == (cells[0] in with_vendor)
+
+
+def test_battery_heavy_tail_families():
+    """rmat/lognormal generators: deterministic, heavy-tailed (degree
+    cv well above the uniform family's), and structurally valid."""
+    fams = {n.split("_")[0] for n in battery.names()}
+    assert {"rmat", "lgn"} <= fams
+    r1 = battery.rmat(4096, 8, seed=3)
+    r2 = battery.rmat(4096, 8, seed=3)
+    assert r1.nnz == r2.nnz
+    np.testing.assert_array_equal(r1.indices, r2.indices)
+    deg = np.diff(r1.offsets)
+    cv_rmat = deg.std() / deg.mean()
+    u = battery.uniform(4096, 4096, 8, seed=3)
+    du = np.diff(u.offsets)
+    assert cv_rmat > 3 * (du.std() / du.mean())
+    lg = battery.lognormal_config(4096, 8, sigma=2.0, seed=3)
+    dl = np.diff(lg.offsets)
+    assert dl.std() / dl.mean() > 2 * (du.std() / du.mean())
+    assert lg.indices.max() < 4096
+
+    import pytest
+    with pytest.raises(ValueError):
+        battery.rmat(1000, 8)   # non-power-of-two
