@@ -121,7 +121,8 @@ class SpMVOperator:
 
     def __init__(self, mat, schedule: str = "row_mapped",
                  block: int | None = None, impl: str = "xla",
-                 bucketed: bool = False, reorder: str | None = None):
+                 bucketed: bool = False, reorder: str | None = None,
+                 class_step: float | None = None):
         import jax
 
         if block is None:
@@ -172,6 +173,12 @@ class SpMVOperator:
         self.impl = impl
         self.block = block
         self.bucketed = bucketed
+        # group_mapped degree-class granularity override: finer classes
+        # (0.5) shrink the largest bucket's slot count — the escape for
+        # XLA remote-compile size crashes on huge uniform planes
+        # (band_n32768_b256: class_step=1.0 crashes the tunnel's
+        # compile helper, 0.5 compiles and validates)
+        self.class_step = class_step
         self.rows, self.cols = mat.shape
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
         self._bufs, fn = builder(mat, schedule, block, impl)
@@ -227,7 +234,9 @@ class SpMVOperator:
 
         if schedule == "group_mapped":
             _require("csr", schedule, impl, SCHEDULES, ("xla",))
-            plan = make_plan(layout, schedule)
+            plan = make_plan(layout, schedule,
+                             **({"class_step": self.class_step}
+                                if self.class_step else {}))
             bufs = dict(buckets=[
                 (jnp.asarray(b["tiles"]),
                  jnp.asarray(csr.indices[b["atom_slots"]]),

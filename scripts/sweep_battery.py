@@ -51,7 +51,7 @@ SCHED_IMPL = {
 }
 
 
-def _build_op(csr, sched, impl):
+def _build_op(csr, sched, impl, **kw):
     import jax
 
     if sched == "sorted_flat":
@@ -68,7 +68,30 @@ def _build_op(csr, sched, impl):
     from loops_tpu.ops.spmv import SpMVOperator
     # bucketed: pow2-rounded kernel shapes -> shared executables across
     # the battery (with the persistent compilation cache enabled above)
-    return SpMVOperator(csr, sched, impl=impl, bucketed=True)
+    return SpMVOperator(csr, sched, impl=impl, bucketed=True, **kw)
+
+
+def _run_cell(csr, sched, impl, x):
+    """Build + first-call with the group_mapped compile-crash escape:
+    huge uniform degree classes can crash the remote compile helper;
+    retry once with finer classes (class_step=0.5, same semantics).
+    Returns (op, y, build_ms) — build_ms excludes compile/first-call,
+    preserving the plan_ms column's preprocess-only meaning."""
+    import time as _t
+
+    import numpy as np
+    try:
+        t0 = _t.perf_counter()
+        op = _build_op(csr, sched, impl)
+        build_ms = (_t.perf_counter() - t0) * 1e3
+        return op, np.asarray(op._fn(x)), build_ms
+    except Exception:
+        if sched != "group_mapped":
+            raise
+        t0 = _t.perf_counter()
+        op = _build_op(csr, sched, impl, class_step=0.5)
+        build_ms = (_t.perf_counter() - t0) * 1e3
+        return op, np.asarray(op._fn(x)), build_ms
 
 
 def dyn_chain(fn):
@@ -193,10 +216,7 @@ def main(argv=None):
                 import warnings
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore")
-                    tb = time.perf_counter()
-                    op = _build_op(csr, sched, impl)
-                    plan_ms = (time.perf_counter() - tb) * 1e3
-                y = np.asarray(op._fn(x))
+                    op, y, plan_ms = _run_cell(csr, sched, impl, x)
                 if ref is None:
                     from loops_tpu.utils import reference
                     ref = reference.spmv(csr, x)
