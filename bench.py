@@ -283,6 +283,9 @@ def main():
         ctr = compiled_counters(op._jit, op._bufs, B)
         ach = achieved(ctr, ms_min, hbm_gbps=params.hbm_gbps,
                        peak_tflops=params.peak_tflops)
+        if not ctr:
+            log("# counters: backend publishes no cost analysis "
+                "(axon/tunnel) — utility degrades cleanly")
         if ach:
             extras.append({"metric": "spmm_counters",
                            "flops": ctr.get("flops"),
