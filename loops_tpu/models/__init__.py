@@ -1,5 +1,6 @@
 """GNN model family: message passing, GCN, GraphSAGE, sampling, training."""
 from loops_tpu.models.gat import GAT, init_gat  # noqa: F401
+from loops_tpu.models.gatv2 import GATv2, init_gatv2  # noqa: F401
 from loops_tpu.models.gcn import GCN, init_gcn  # noqa: F401
 from loops_tpu.models.graph import Graph  # noqa: F401
 from loops_tpu.models.message_passing import aggregate_operator, edge_aggregate  # noqa: F401

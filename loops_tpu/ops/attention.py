@@ -33,7 +33,7 @@ from loops_tpu.formats import CSR
 from loops_tpu.layout import CsrLayout
 from loops_tpu.schedule.plans import make_plan
 
-__all__ = ["GroupedAttentionAggregate"]
+__all__ = ["GroupedAttentionAggregate", "GroupedAttentionV2"]
 
 
 class GroupedAttentionAggregate:
@@ -286,3 +286,77 @@ def reference_attention_aggregate(adj: CSR, s_src, s_dst, hw,
         out[r] = np.einsum("ph,phd->hd", alpha,
                            hw[src[a0:a1]].astype(np.float64))
     return out.astype(np.float32)
+
+
+class GroupedAttentionV2:
+    """Fused GATv2 attention aggregation over a fixed graph.
+
+    GATv2 (Brody et al. 2022) scores are *not* factorizable into node
+    halves: ``e_ij = a_h . leaky_relu(u_j + v_i)`` applies the
+    nonlinearity to the per-edge sum of vector pre-activations, which
+    is exactly the "static attention" limitation of GATv1 the paper
+    fixes. The per-edge vector work is therefore irreducible — but it
+    still runs as the same bucketed group_mapped pass as
+    :class:`GroupedAttentionAggregate` (a destination row is one plane
+    window, so score + masked softmax + weighted aggregation stay
+    fused, with zero per-edge scatters).
+
+    ``op(u, v, a, vals) -> [N, H, D]``: ``u``/``vals`` are per-source
+    transforms ([N, H, D]; GATv2 standard uses vals == u), ``v`` the
+    per-destination transform, ``a`` the attention vectors [H, D].
+    Backward runs via autodiff through the fused forward (the v1
+    transposed-plan custom VJP does not port: its score backward
+    assumes scalar logit halves).
+    """
+
+    def __init__(self, adj: CSR, negative_slope: float = 0.2,
+                 dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.adj = adj
+        self.n = adj.shape[0]
+        self.negative_slope = float(negative_slope)
+        self.dtype = dtype
+        plan = make_plan(CsrLayout.from_csr(adj), "group_mapped")
+        self._bufs = dict(buckets=[
+            (jnp.asarray(b["tiles"]),
+             jnp.asarray(adj.indices[b["atom_slots"]]),
+             jnp.asarray(b["valid"]))
+            for b in plan.buckets])
+        self._jit = jax.jit(self._fn)
+        self.apply = (lambda u, v, a, vals:
+                      self._jit(self._bufs, u, v, a, vals))
+
+    def _fn(self, bufs, u, v, a, vals):
+        import jax
+        import jax.numpy as jnp
+
+        n, slope = self.n, self.negative_slope
+        H, D = u.shape[1], u.shape[2]
+        # flat [N, H*D] views for every gather (3-D operands hit XLA's
+        # per-element slow path, docs/concepts/tpu-performance.md §3)
+        u2 = u.reshape(n, H * D)
+        vals2 = vals.reshape(n, H * D)
+        if self.dtype is not None:
+            u2 = u2.astype(self.dtype)
+            vals2 = vals2.astype(self.dtype)
+        out = jnp.zeros((n, H * D), u.dtype)
+        neg = jnp.asarray(-jnp.inf, u.dtype)
+        for tiles, idx, valid in bufs["buckets"]:
+            t, p = idx.shape
+            pre = (u2[idx].reshape(t, p, H, D).astype(jnp.float32)
+                   + v[tiles][:, None])                    # [t, p, H, D]
+            e = jnp.einsum("tphd,hd->tph",
+                           jax.nn.leaky_relu(pre, slope), a)
+            e = jnp.where(valid[..., None], e, neg)
+            m = e.max(axis=1, keepdims=True)
+            z = jnp.where(valid[..., None], jnp.exp(e - m), 0.0)
+            denom = z.sum(axis=1)                          # [t, H]
+            f = vals2[idx].reshape(t, p, H, D)
+            agg = (z.astype(f.dtype)[..., None] * f).astype(
+                jnp.float32).sum(axis=1)                   # [t, H, D]
+            agg = agg / jnp.maximum(denom, 1e-30)[..., None]
+            out = out.at[tiles].set(agg.reshape(t, H * D).astype(
+                out.dtype), unique_indices=True)
+        return out.reshape(n, H, D)
