@@ -73,6 +73,70 @@ class EdgePartition:
         return cls(P, csr.shape[0], row_starts.astype(INDEX_DTYPE),
                    rows_pd, nnz_pd, offsets, indices, vals, row_valid)
 
+    @classmethod
+    def from_shards(cls, sharded, chips_per_shard: int,
+                    pad_rows_to: int = 8) -> "EdgePartition":
+        """Assemble the mesh partition from an out-of-core
+        ``io.shards.ShardedCSR`` WITHOUT a global CSR in memory — the
+        papers100M glue: shard p (one host's slice) is loaded lazily
+        from its memmapped files, merge-path-subdivided across the
+        host's chips, and released before the next shard loads. Use
+        with ``make_mesh_hier(sharded.num_shards, chips_per_shard)`` +
+        ``HierHaloPlan`` so the shard boundaries land exactly on the
+        DCN (host) axis."""
+        hosts = int(sharded.num_shards)
+        C = int(chips_per_shard)
+        P = hosts * C
+
+        # pass 1: row cuts per shard (chip subdivision) + maxima
+        row_starts = np.zeros(P + 1, dtype=np.int64)
+        dev_rows = np.zeros(P, dtype=np.int64)
+        dev_nnzs = np.zeros(P, dtype=np.int64)
+        shard_starts = sharded.row_starts.astype(np.int64)
+        cuts_per_shard = []
+        for h in range(hosts):
+            sh = sharded.shard(h)
+            offs = np.asarray(sh["offsets"], dtype=np.int64)
+            t, _ = merge_path_partition(offs, C)
+            t = t.astype(np.int64)
+            t[0], t[-1] = 0, len(offs) - 1
+            cuts_per_shard.append(t)
+            for c in range(C):
+                p = h * C + c
+                row_starts[p] = shard_starts[h] + t[c]
+                dev_rows[p] = t[c + 1] - t[c]
+                dev_nnzs[p] = offs[t[c + 1]] - offs[t[c]]
+        row_starts[P] = shard_starts[hosts]
+        rows_pd = _round_up(max(int(dev_rows.max(initial=1)), 1),
+                            pad_rows_to)
+        nnz_pd = max(int(dev_nnzs.max(initial=1)), 1)
+
+        offsets = np.zeros((P, rows_pd + 1), dtype=INDEX_DTYPE)
+        indices = np.zeros((P, nnz_pd), dtype=INDEX_DTYPE)
+        vals = np.zeros((P, nnz_pd), dtype=np.float32)
+        row_valid = np.zeros((P, rows_pd), dtype=bool)
+        # pass 2: per-shard staging (one shard resident at a time)
+        for h in range(hosts):
+            sh = sharded.shard(h)
+            offs = np.asarray(sh["offsets"], dtype=np.int64)
+            gather = np.asarray(sh["gather"])
+            t = cuts_per_shard[h]
+            for c in range(C):
+                p = h * C + c
+                r0, r1 = int(t[c]), int(t[c + 1])
+                a0, a1 = int(offs[r0]), int(offs[r1])
+                local_off = offs[r0:r1 + 1] - a0
+                offsets[p, : r1 - r0 + 1] = local_off
+                offsets[p, r1 - r0 + 1:] = local_off[-1]
+                # shard cols are locally remapped; lift to global ids
+                indices[p, : a1 - a0] = gather[
+                    np.asarray(sh["indices"][a0:a1])]
+                vals[p, : a1 - a0] = np.asarray(sh["vals"][a0:a1])
+                row_valid[p, : r1 - r0] = True
+        return cls(P, int(shard_starts[hosts]),
+                   row_starts.astype(INDEX_DTYPE), rows_pd, nnz_pd,
+                   offsets, indices, vals, row_valid)
+
     # ---------------------------------------------------------- halo info
     def owner_of(self, nodes: np.ndarray) -> np.ndarray:
         """Owning device of each (destination-partitioned) node id."""

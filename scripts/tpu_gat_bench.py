@@ -45,7 +45,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", default=None,
                    help="feature-gather dtype, e.g. bfloat16")
-    p.add_argument("--modes", default="vjp,autodiff,textbook")
+    p.add_argument("--modes", default="vjp,autodiff,textbook",
+                   help="comma list: vjp,autodiff,textbook,"
+                        "v2,v2_textbook")
     args = p.parse_args(argv)
 
     ds = ogb.load("ogbn-arxiv", scale=args.scale)
@@ -110,6 +112,17 @@ def main(argv=None):
         results["textbook"] = bench_mode(
             "textbook per-edge",
             GAT(g, dims, heads=args.heads, fused=False))
+    if "v2" in modes or "v2_textbook" in modes:
+        from loops_tpu.models import GATv2
+        if "v2" in modes:
+            results["gatv2_fused"] = bench_mode(
+                "GATv2 fused (autodiff)",
+                GATv2(g, dims, heads=args.heads, fused=True,
+                      dtype=args.dtype))
+        if "v2_textbook" in modes:
+            results["gatv2_textbook"] = bench_mode(
+                "GATv2 textbook per-edge",
+                GATv2(g, dims, heads=args.heads, fused=False))
     return results
 
 
