@@ -141,7 +141,19 @@ def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
     )
     GS = GROUP * K
 
-    def kernel(s0_ref, stripe_ref, first_ref, prod_ref, rel_ref, y_ref):
+    # Stage the GROUP dots into VMEM scratch at static offsets, then
+    # run the dynamic-window accumulations back-to-back. On scattered
+    # windows this breaks the dot<->read-modify-write chain Mosaic
+    # serializes on (isolated probe: 1.32 -> 0.53 ns/atom, 2.5x); on
+    # real merge-path plans consecutive blocks' windows OVERLAP (~38-
+    # row spacing vs R~72), so the accumulates carry genuine RAW
+    # dependences and measure the same either way (9.49 vs 9.55 ms on
+    # arxiv) — kept for the scattered case, harmless otherwise. Gated
+    # on scratch fitting VMEM (R can be large for degenerate plans).
+    use_scratch = GROUP * R * max(int(block_f), LANES) * 4 <= 4 << 20
+
+    def kernel(s0_ref, stripe_ref, first_ref, prod_ref, rel_ref, y_ref,
+               *scr):
         g = pl.program_id(1)
 
         @pl.when(first_ref[g] == 1)
@@ -149,7 +161,8 @@ def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
             y_ref[:] = jnp.zeros_like(y_ref)
 
         dims = (((0,), (0,)), ((), ()))
-        for j in range(GROUP):
+
+        def partial_for(j):
             pj = prod_ref[j * K:(j + 1) * K, :]           # [K, FT]
             oh = (rel_ref[j, :].reshape(K, 1)
                   == jax.lax.broadcasted_iota(jnp.int32, (K, R), 1))
@@ -159,16 +172,25 @@ def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
                 r1 = pj - h1
                 h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
                 r2 = r1 - h2
-                partial = sum(
+                return sum(
                     jax.lax.dot_general(ohf, t, dims,
                                         preferred_element_type=jnp.float32)
                     for t in (h1, h2, r2))                # [R, FT]
-            else:
-                partial = jax.lax.dot_general(
-                    oh.astype(pj.dtype), pj, dims,
-                    preferred_element_type=jnp.float32)   # [R, FT]
-            base_j = s0_ref[g * GROUP + j]
-            y_ref[pl.ds(base_j, R), :] += partial
+            return jax.lax.dot_general(
+                oh.astype(pj.dtype), pj, dims,
+                preferred_element_type=jnp.float32)       # [R, FT]
+
+        if use_scratch:
+            p_scr = scr[0]
+            for j in range(GROUP):
+                p_scr[j * R:(j + 1) * R, :] = partial_for(j)
+            for j in range(GROUP):
+                base_j = s0_ref[g * GROUP + j]
+                y_ref[pl.ds(base_j, R), :] += p_scr[j * R:(j + 1) * R, :]
+        else:
+            for j in range(GROUP):
+                base_j = s0_ref[g * GROUP + j]
+                y_ref[pl.ds(base_j, R), :] += partial_for(j)
 
     def fn(b, Bmat):
         F = Bmat.shape[1]
@@ -190,6 +212,9 @@ def flat_spmm_pallas(csr, plan, stripe_rows: int = 4096, block_f: int = 128,
             ],
             out_specs=pl.BlockSpec((ST, FT),
                                    lambda f, g, s0, st, fi: (st[g], f)),
+            scratch_shapes=(
+                [pltpu.VMEM((GROUP * R, FT), jnp.float32)]
+                if use_scratch else []),
         )
         out = pl.pallas_call(
             kernel,
