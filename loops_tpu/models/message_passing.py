@@ -25,21 +25,26 @@ def _transpose_csr(csr):
                csc.vals)
 
 
-def _route_aggregation(adj, dtype) -> tuple[str, str]:
+def _route_aggregation(adj, dtype, op: str = "gcn") -> tuple[str, str]:
     """Resolve ``schedule="auto"`` to the measured-best aggregation
-    kernel for this platform/operand mode (the model-tier analog of the
-    reference's launch_box arch keying, util/launch_box.hxx:176-214).
+    kernel for this platform/operand/model mode (the model-tier analog
+    of the reference's launch_box arch keying, launch_box.hxx:176-214).
 
-    TPU + bf16 operands -> the flat merge-path Pallas SpMM (fastest
-    measured aggregation, docs/experimentation.md); everything else ->
-    group_mapped XLA planes (the fastest exact path, and the safe
-    choice on CPU where interpret-mode Pallas is debug-speed only).
+    TPU + bf16 + symmetric GCN normalization -> the flat merge-path
+    Pallas SpMM (GCN train step 72.7 -> 43.8 ms measured); mean
+    aggregation (SAGE) measured the OPPOSITE way once its throughput
+    row actually routed bf16 (round 4: flat 72.2 ms vs group_mapped
+    54.5 — the non-symmetric mean operator pays two flat plans and its
+    win inverts), so ``op="mean"`` stays on the group_mapped planes.
+    Everything else -> group_mapped XLA (fastest exact path, and the
+    safe choice on CPU where interpret-mode Pallas is debug-speed
+    only).
     """
     import jax
 
     from loops_tpu.formats import CSR
     if (jax.default_backend() == "tpu" and isinstance(adj, CSR)
-            and dtype == "bfloat16"):
+            and dtype == "bfloat16" and op != "mean"):
         return "merge_path", "pallas"
     return "group_mapped", "xla"
 
@@ -69,7 +74,7 @@ def aggregate_operator(graph: Graph, op: str = "sum",
     else:
         raise ValueError(f"aggregate_operator: unsupported op {op!r}")
     if schedule == "auto":
-        schedule, impl = _route_aggregation(adj, dtype)
+        schedule, impl = _route_aggregation(adj, dtype, op)
     fwd_op = SpMMOperator(adj, schedule=schedule, impl=impl, dtype=dtype)
     if not custom_vjp:
         return fwd_op
