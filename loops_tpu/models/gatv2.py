@@ -29,14 +29,18 @@ def init_gatv2(key, dims, heads: int = 4):
     for i in range(len(dims) - 1):
         d_in = dims[i] * (heads if i > 0 else 1)
         d_out = dims[i + 1]
-        layers.append({
+        layer = {
             # W_l (destination role) and W_r (source role; also the
             # value transform, per the paper's reference impl)
             "w_l": _glorot(keys[3 * i], d_in, heads * d_out),
             "w_r": _glorot(keys[3 * i + 1], d_in, heads * d_out),
             "a": _glorot(keys[3 * i + 2], heads, d_out),
-            "b": np.zeros(d_out, np.float32),
-        })
+        }
+        if i == len(dims) - 2:
+            # apply() only adds the bias on the head-averaged last
+            # layer; intermediate biases would be dead parameters
+            layer["b"] = np.zeros(d_out, np.float32)
+        layers.append(layer)
     return layers
 
 

@@ -182,6 +182,11 @@ extern "C" int benes_route(int64_t n_blocks, int32_t rows,
   unsigned hw = std::thread::hardware_concurrency();
   int n_workers = (int)(hw ? hw : 1);
   if ((int64_t)n_workers > n_blocks) n_workers = (int)n_blocks;
+  // small plans: thread spawn + per-worker Scratch would exceed the
+  // routing work itself; require >=4 blocks per worker before going
+  // parallel (also keeps shared hosts polite)
+  if (n_blocks / 4 < (int64_t)n_workers)
+    n_workers = (int)(n_blocks / 4 ? n_blocks / 4 : 1);
   if (n_workers <= 1) {
     Scratch sc(rows);
     for (int64_t b = 0; b < n_blocks; ++b)

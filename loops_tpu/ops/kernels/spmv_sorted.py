@@ -41,6 +41,13 @@ plus host planning:
 
 Cost model (uniform random 32768^2, 4.39M nnz, 8 chunks/group): ~0.3
 VPU ops per atom + ~26 B/atom metadata traffic.
+
+The plan/bind split mirrors the reference's preprocess-vs-kernel
+separation (merge_path_flat.cuh:97-138): ``sorted_spmv_plan`` is pure
+host numpy (cacheable — io/plan_cache.py persists it keyed by matrix
+content so the sort-bound staging is paid once per matrix *ever*);
+``sorted_spmv_bind`` turns a plan into device buffers + the jitted
+kernel closure in milliseconds.
 """
 from __future__ import annotations
 
@@ -56,12 +63,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
-                       span: int | None = None, span_cap: int = 768,
-                       stripe_rows: int = 32768, pad_cap: float = 4.0,
-                       x_sublanes_cap: int = 8192, bucketed: bool = False,
-                       interpret: bool | None = None):
-    """Build ``(bufs, fn)`` for CSR @ vector via the sorted-gather plan.
+def sorted_spmv_plan(csr, plan=None, *, vregs_per_block: int = 8,
+                     span: int | None = None, span_cap: int = 768,
+                     stripe_rows: int = 32768, pad_cap: float = 4.0,
+                     x_sublanes_cap: int = 8192, bucketed: bool = False):
+    """Host planning: returns ``(arrays, params)`` — pure numpy.
 
     Raises ``ValueError`` when the matrix is outside the kernel's
     envelope (needed chunk span above ``span_cap``, chunk padding above
@@ -76,17 +82,9 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     """
     import time as _time
 
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     from loops_tpu.native.routes import benes_route
 
     _t_plan0 = _time.perf_counter()
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
     rows, cols_n = csr.shape
     N = int(csr.nnz)
     VB = int(vregs_per_block)
@@ -104,12 +102,9 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     cols = csr.indices.astype(np.int64)
     vals = csr.vals.astype(np.float32)
     if N == 0:
-        bufs = dict(_empty=jnp.zeros((1,), jnp.float32))
-
-        def fn(b, x):
-            return jnp.zeros(rows, jnp.float32)
-        fn.meta = dict(num_groups=0, span=0)
-        return bufs, fn
+        params = dict(empty=True, rows=rows, cols_n=cols_n,
+                      num_groups=0, span=0, plan_ms=0.0)
+        return {}, params
 
     rid = np.repeat(np.arange(rows, dtype=np.int64), np.diff(offsets))
 
@@ -266,6 +261,12 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     base_full = np.zeros(ngp, np.int64)
     base_full[:ng] = base_g
     rel_e = gr2[eg, ei] - base_full[eg]
+    # the base-clamp above guarantees every row end lands inside its
+    # group's [8,128] window; a violation would silently corrupt an
+    # adjacent group's row-end table via the flat scatter below
+    assert len(rel_e) == 0 or (0 <= rel_e.min() and
+                               rel_e.max() < ROW_WINDOW), \
+        "row-end outside the group window: block row-span invariant broken"
     qp = np.full(ngp * ROW_WINDOW, -1, np.int64)
     qp[eg * ROW_WINDOW + rel_e] = ei
     qp = qp.reshape(ngp, ROW_WINDOW)
@@ -288,21 +289,58 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
     s1, s2, s3 = benes_route(dest)
     _plan_ms = (_time.perf_counter() - _t_plan0) * 1e3
 
-    bufs = dict(
-        vals=jnp.asarray(vals_s.reshape(ng * SUB, LANES)),
-        hi=jnp.asarray(hi_s.reshape(ng * SUB, LANES)),
-        lo=jnp.asarray(lo_s.reshape(ng * SUB, LANES)),
-        s1=jnp.asarray(s1.reshape(ng * SUB, LANES)),
-        s2=jnp.asarray(s2.reshape(ng * SUB, LANES)),
-        s3=jnp.asarray(s3.reshape(ng * SUB, LANES)),
-        qrow=jnp.asarray(qrow.reshape(ng * 8, LANES)),
-        qlo=jnp.asarray(qlo.reshape(ng * 8, LANES)),
-        flag=jnp.asarray(flag_s.reshape(ng * SUB, LANES)),
-        vbase=jnp.asarray(vbase.reshape(-1)),
-        stripe=jnp.asarray(stripe_g),
-        first=jnp.asarray(firsts),
-        ybase=jnp.asarray(ybase),
+    arrays = dict(
+        vals=vals_s.reshape(ng * SUB, LANES),
+        hi=hi_s.reshape(ng * SUB, LANES),
+        lo=lo_s.reshape(ng * SUB, LANES),
+        s1=s1.reshape(ng * SUB, LANES),
+        s2=s2.reshape(ng * SUB, LANES),
+        s3=s3.reshape(ng * SUB, LANES),
+        qrow=qrow.reshape(ng * 8, LANES),
+        qlo=qlo.reshape(ng * 8, LANES),
+        flag=flag_s.reshape(ng * SUB, LANES),
+        vbase=vbase.reshape(-1),
+        stripe=stripe_g,
+        first=firsts,
+        ybase=ybase,
     )
+    params = dict(empty=False, rows=rows, cols_n=cols_n, vb=VB,
+                  span=SPAN, num_groups=ng, n_stripes=n_stripes, ST=ST,
+                  Csub=Csub,
+                  pad_ratio=round(ng * K / max(N, 1), 3),
+                  plan_ms=round(_plan_ms, 3))
+    return arrays, params
+
+
+def sorted_spmv_bind(arrays, params, *, interpret: bool | None = None):
+    """Turn a (possibly disk-cached) plan into ``(bufs, fn)``."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows = int(params["rows"])
+    if params.get("empty"):
+        bufs = dict(_empty=jnp.zeros((1,), jnp.float32))
+
+        def fn(b, x):
+            return jnp.zeros(rows, jnp.float32)
+        fn.meta = dict(num_groups=0, span=0,
+                       plan_ms=params.get("plan_ms", 0.0))
+        return bufs, fn
+
+    cols_n = int(params["cols_n"])
+    VB = int(params["vb"])
+    SPAN = int(params["span"])
+    ng = int(params["num_groups"])
+    n_stripes = int(params["n_stripes"])
+    ST = int(params["ST"])
+    Csub = int(params["Csub"])
+    SUB = VB * 8
+
+    bufs = {k: jnp.asarray(v) for k, v in arrays.items()}
 
     def kernel(vbase_r, stripe_r, first_r, ybase_r, x_r, vals_r, hi_r,
                lo_r, s1_r, s2_r, s3_r, qrow_r, qlo_r, flag_r, y_r,
@@ -428,13 +466,46 @@ def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
         return out.reshape(-1)[:rows]
 
     fn.meta = dict(num_groups=ng, span=SPAN, vb=VB,
-                   pad_ratio=round(ng * K / max(N, 1), 3),
+                   pad_ratio=params.get("pad_ratio"),
                    n_stripes=n_stripes, ST=ST,
                    # host planning/staging cost (sort + chunk + route),
                    # excluding the device upload of bufs — the
                    # reference's preprocess-vs-kernel separation
                    # (merge_path_flat.cuh:97-138 returns the timer so
                    # preprocess is excluded); amortized over every
-                   # subsequent apply of the bound operator
-                   plan_ms=round(_plan_ms, 3))
+                   # subsequent apply of the bound operator.  When the
+                   # plan came from the disk cache this is the (much
+                   # smaller) load time — see plan_source.
+                   plan_ms=params.get("plan_ms"),
+                   plan_source=params.get("plan_source", "built"))
     return bufs, fn
+
+
+def sorted_spmv_pallas(csr, plan=None, *, vregs_per_block: int = 8,
+                       span: int | None = None, span_cap: int = 768,
+                       stripe_rows: int = 32768, pad_cap: float = 4.0,
+                       x_sublanes_cap: int = 8192, bucketed: bool = False,
+                       interpret: bool | None = None,
+                       cache_dir=None):
+    """Build ``(bufs, fn)`` for CSR @ vector via the sorted-gather plan.
+
+    ``cache_dir``: directory for the persistent plan-artifact cache
+    (io/plan_cache.py).  On a hit the sort-bound host staging is
+    skipped entirely and ``fn.meta['plan_ms']`` reports the load time
+    (``plan_source == 'cache'``); on a miss the freshly built plan is
+    saved before binding.  Keyed by matrix content + every
+    envelope-relevant knob, so a changed ``span``/``bucketed`` etc.
+    never aliases.
+    """
+    kw = dict(vregs_per_block=vregs_per_block, span=span,
+              span_cap=span_cap, stripe_rows=stripe_rows,
+              pad_cap=pad_cap, x_sublanes_cap=x_sublanes_cap,
+              bucketed=bucketed)
+    if cache_dir is None:
+        arrays, params = sorted_spmv_plan(csr, plan, **kw)
+    else:
+        from loops_tpu.io.plan_cache import plan_cache_get_or_build
+        arrays, params = plan_cache_get_or_build(
+            cache_dir, csr, kw,
+            lambda: sorted_spmv_plan(csr, plan, **kw))
+    return sorted_spmv_bind(arrays, params, interpret=interpret)

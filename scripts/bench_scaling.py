@@ -135,9 +135,14 @@ def main(argv=None):
         print(f"{'mesh':>8} {'DCN flat MB':>12} {'DCN hier MB':>12} "
               f"{'dedup':>7} {'ICI MB':>8}")
         P_all = counts[-1]
+        # the chip-level partition is invariant across factorizations
+        part = EdgePartition.build(csr, P_all)
         hosts = 2
         while hosts < P_all:
-            part = EdgePartition.build(csr, P_all)
+            if P_all % hosts:
+                # HierHaloPlan needs hosts x chips = P_all exactly
+                hosts *= 2
+                continue
             hier = HierHaloPlan.build(part, hosts, P_all // hosts)
             st = hier.volume_stats()
             mb = F * 4 / 1e6

@@ -85,9 +85,14 @@ def _run_cell(csr, sched, impl, x):
         op = _build_op(csr, sched, impl)
         build_ms = (_t.perf_counter() - t0) * 1e3
         return op, np.asarray(op._fn(x)), build_ms
-    except Exception:
+    except Exception as first_err:
         if sched != "group_mapped":
             raise
+        # the escape targets the remote-compile crash on huge uniform
+        # degree classes; surface the first error so an OOM or a real
+        # plan bug is never silently double-counted into build_ms
+        print(f"    [group_mapped retry with class_step=0.5 after: "
+              f"{type(first_err).__name__}: {first_err}]", flush=True)
         t0 = _t.perf_counter()
         op = _build_op(csr, sched, impl, class_step=0.5)
         build_ms = (_t.perf_counter() - t0) * 1e3
