@@ -55,7 +55,7 @@ class GCN:
     def __init__(self, graph: Graph, dims, dropout: float = 0.5,
                  schedule: str = "auto", impl: str = "xla",
                  remat: bool = False, dtype=None,
-                 precompute_first: bool = False):
+                 precompute_first: bool = False, loss_rows=None):
         self.dims = list(dims)
         self.dropout = dropout
         self.remat = remat
@@ -63,6 +63,24 @@ class GCN:
         self.propagate = aggregate_operator(graph, op="gcn",
                                             schedule=schedule, impl=impl,
                                             dtype=dtype)
+        # loss_rows: the training loss only reads logits at these rows
+        # (the train mask), so the LAST layer's propagation — forward
+        # and backward — restricts to A[rows, :] exactly
+        # (message_passing.masked_aggregate_operator). apply(...,
+        # masked_output=True) then returns [M, C] logits for those
+        # rows; models/train.py uses it automatically. Eval paths keep
+        # the full propagation.
+        self.loss_rows = None
+        self.propagate_masked = None
+        if loss_rows is not None:
+            from loops_tpu.models.message_passing import (
+                masked_aggregate_operator,
+            )
+            op = masked_aggregate_operator(graph, loss_rows, op="gcn",
+                                           schedule=schedule, impl=impl,
+                                           dtype=dtype)
+            self.loss_rows = op.rows
+            self.propagate_masked = op
 
     def init(self, key):
         return init_gcn(key, self.dims)
@@ -83,26 +101,42 @@ class GCN:
         import jax.numpy as jnp
         return self.propagate._fn(jnp.asarray(features))
 
-    def apply(self, params, h, *, train: bool = False, rng=None):
+    def apply(self, params, h, *, train: bool = False, rng=None,
+              masked_output: bool = False):
         """Forward pass. With ``precompute_first=True``, ``h`` must be
         the output of :meth:`prepare_features`, NOT the raw feature
-        matrix (see the class docstring warning)."""
+        matrix (see the class docstring warning).
+
+        ``masked_output=True`` (requires ``loss_rows``) returns logits
+        only at ``self.loss_rows`` ([M, C]) via the masked last-layer
+        propagation — the exact training-loss view at ~mask-fraction of
+        the final layer's sparse cost.
+        """
         import jax
         import jax.numpy as jnp
 
         prop = self.propagate._fn  # jit-compiled SpMM closure
+        if masked_output:
+            if self.propagate_masked is None:
+                raise ValueError("masked_output requires loss_rows=")
+            prop_last = self.propagate_masked._fn
+        else:
+            prop_last = prop
 
-        def layer_fn(layer, h, skip_prop=False):
+        def layer_fn(layer, h, skip_prop=False, last=False):
             hw = h @ layer["w"]
-            return (hw if skip_prop else prop(hw)) + layer["b"]
+            if skip_prop:
+                return hw + layer["b"]
+            return (prop_last(hw) if last else prop(hw)) + layer["b"]
 
         if self.remat:
             # trade recompute for activation memory (HBM is the usual
             # bottleneck when N x hidden no longer fits alongside grads)
-            layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+            layer_fn = jax.checkpoint(layer_fn, static_argnums=(2, 3))
 
         for i, layer in enumerate(params):
-            h = layer_fn(layer, h, i == 0 and self.precompute_first)
+            h = layer_fn(layer, h, i == 0 and self.precompute_first,
+                         i == len(params) - 1)
             if i + 1 < len(params):
                 h = jax.nn.relu(h)
                 if train and self.dropout > 0:

@@ -111,6 +111,78 @@ def aggregate_operator(graph: Graph, op: str = "sum",
     return fwd_op
 
 
+def _take_rows_csr(csr, idx: np.ndarray):
+    """CSR row selection: rows ``idx`` of A, compacted to [M, N]."""
+    from loops_tpu.formats import CSR
+
+    idx = np.asarray(idx, np.int64)
+    sizes = np.diff(csr.offsets)[idx]
+    offs = np.zeros(len(idx) + 1, np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    total = int(offs[-1])
+    pos = (np.repeat(csr.offsets[idx], sizes)
+           + (np.arange(total, dtype=np.int64)
+              - np.repeat(offs[:-1], sizes)))
+    return CSR((len(idx), csr.shape[1]), offs, csr.indices[pos],
+               csr.vals[pos])
+
+
+def masked_aggregate_operator(graph: Graph, rows, op: str = "gcn",
+                              schedule: str = "auto", impl: str = "xla",
+                              dtype=None):
+    """Aggregation restricted to the output rows the loss reads.
+
+    Full-graph training only consumes logits at the labeled rows (the
+    train mask); everything the last layer propagates to other rows is
+    dead work — forward AND backward, since the incoming gradient is
+    zero off-mask. This operator materializes that algebra exactly:
+
+        fwd:  y_m = A[rows, :] @ z          [M, F]   (~mask-fraction
+              of the edges)
+        bwd:  dz  = A[rows, :]^T @ dy_m     [N, F]   (same submatrix)
+
+    Normalization (op="gcn"/"mean") uses the FULL graph's degrees —
+    the submatrix is taken from the already-normalized adjacency, so
+    the selected outputs are bit-comparable to the full propagation's.
+    Returns an operator whose ``._fn`` maps [N, F] -> [M, F].
+    """
+    if op == "sum":
+        adj = graph.adj
+    elif op == "mean":
+        adj = graph.mean_normalized().adj
+    elif op == "gcn":
+        adj = graph.gcn_normalized().adj
+    else:
+        raise ValueError(f"masked_aggregate_operator: unsupported {op!r}")
+    rows = np.asarray(rows)
+    if rows.dtype == bool or (rows.dtype.kind == "f"):
+        rows = np.nonzero(rows > 0)[0]
+    sub = _take_rows_csr(adj, rows)
+    if schedule == "auto":
+        schedule, impl = _route_aggregation(sub, dtype, op)
+    fwd_op = SpMMOperator(sub, schedule=schedule, impl=impl, dtype=dtype)
+    sub_t = _transpose_csr(sub)
+    bwd_op = SpMMOperator(sub_t, schedule=schedule, impl=impl, dtype=dtype)
+
+    import jax
+
+    @jax.custom_vjp
+    def prop(h):
+        return fwd_op._jit(fwd_op._bufs, h)
+
+    def fwd(h):
+        return prop(h), None
+
+    def bwd(_, g):
+        return (bwd_op._jit(bwd_op._bufs, g),)
+
+    prop.defvjp(fwd, bwd)
+    fwd_op._fn = prop
+    fwd_op._vjp_op = bwd_op
+    fwd_op.rows = rows
+    return fwd_op
+
+
 def edge_aggregate(graph: Graph, h, edge_fn=None, op: str = "sum"):
     """General form: messages = edge_fn(h[src], edge_weight) aggregated at
     destinations. ``op`` in {sum, mean, max, min}."""

@@ -44,9 +44,27 @@ def make_train_step(model, optimizer, features, labels, train_mask,
     labels = jnp.asarray(labels)
     train_mask = jnp.asarray(train_mask)
 
+    # models that know their loss rows (GCN(loss_rows=...)) propagate
+    # the last layer only to those rows; the masked cross-entropy over
+    # full logits equals the plain mean over the compacted rows exactly
+    loss_rows = getattr(model, "loss_rows", None)
+    use_masked = loss_rows is not None
+    if use_masked:
+        import numpy as np
+        mask_np = np.asarray(train_mask) > 0
+        assert np.array_equal(np.nonzero(mask_np)[0],
+                              np.asarray(loss_rows)), \
+            "model.loss_rows must be the train_mask's rows"
+        labels_m = jnp.asarray(np.asarray(labels)[np.asarray(loss_rows)])
+
     def loss_fn(params, rng):
-        logits = model.apply(params, features, train=True, rng=rng)
-        loss = cross_entropy(logits, labels, train_mask)
+        if use_masked:
+            logits_m = model.apply(params, features, train=True, rng=rng,
+                                   masked_output=True)
+            loss = cross_entropy(logits_m, labels_m)
+        else:
+            logits = model.apply(params, features, train=True, rng=rng)
+            loss = cross_entropy(logits, labels, train_mask)
         if weight_decay:
             l2 = sum(jnp.sum(p["w"] ** 2) for p in params)
             loss = loss + weight_decay * l2

@@ -29,11 +29,39 @@ ensure_platform()
 
 
 def powerlaw_csr(n: int, avg_deg: int, seed: int = 0):
-    """Adjacency-only zipf-flavored digraph, built in O(E) memory."""
+    """Adjacency-only zipf-flavored digraph, built in O(E) memory.
+
+    Large n (>= 2^22) takes the billion-edge path: closed-form inverse-
+    CDF zipf draws (``n**u`` instead of an alias table over n
+    probabilities) and the native counting-sort COO->CSR
+    (native/src/coo_to_csr.cpp) with no dedup pass — duplicate edges
+    simply act as weight-2 edges, which is fine for a staging
+    benchmark and keeps peak memory at ~3 copies of the edge list.
+    """
     from loops_tpu.formats import COO, CSR
 
     rng = np.random.default_rng(seed)
     m = n * avg_deg
+    if n >= 1 << 22:
+        # P(rank <= k) ~ ln(k)/ln(n) for zipf(1)  =>  rank = n**u;
+        # chunked so the f64 temporaries stay ~1 GB
+        src = np.empty(m, np.int32)
+        step = 1 << 27
+        for i in range(0, m, step):
+            u = rng.random(min(step, m - i))
+            src[i:i + len(u)] = np.minimum(
+                (n ** u).astype(np.int64) - 1, n - 1).astype(np.int32)
+        dst = rng.integers(0, n, size=m, dtype=np.int32)
+        from loops_tpu.native.convert import coo_to_csr
+        nat = coo_to_csr(dst, src, np.ones(m, np.float32), n)
+        if nat is not None:
+            offsets, cols, vals = nat
+            return CSR((n, n), offsets.astype(np.int64), cols, vals)
+        order = np.argsort(dst, kind="stable")
+        dst, src = dst[order], src[order]
+        offsets = np.searchsorted(dst, np.arange(n + 1)).astype(np.int64)
+        return CSR((n, n), offsets, src.astype(np.int32),
+                   np.ones(m, np.float32))
     ranks = np.arange(1, n + 1, dtype=np.float64)
     probs = (1.0 / ranks) / np.log(n + 1)  # ~zipf normalizer
     probs /= probs.sum()

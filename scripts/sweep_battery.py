@@ -164,6 +164,14 @@ def main(argv=None):
                     help="only the first K matrices (smoke mode)")
     ap.add_argument("--budget-s", type=float, default=0,
                     help="stop cleanly after this many seconds")
+    ap.add_argument("--population", choices=("synthetic", "statmatched"),
+                    default="synthetic",
+                    help="'statmatched': size+structure-prior replicas "
+                         "of the reference's 4,831-matrix SuiteSparse "
+                         "sweep (utils/statmatch.py) instead of the "
+                         "labeled synthetic battery")
+    ap.add_argument("--statmatched-k", type=int, default=250,
+                    help="sample size for --population statmatched")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -173,17 +181,32 @@ def main(argv=None):
     from loops_tpu.utils.generate import make_input_vector
 
     os.makedirs(args.out, exist_ok=True)
-    mats = battery.battery(args.max_rows)
-    # interleave structure families (round-robin over the name prefix)
-    # so a budget-limited partial sweep still spans every regime
-    fams = {}
-    for n in sorted(mats):
-        fams.setdefault(n.split("_")[0], []).append(n)
-    names = []
-    for i in range(max(len(v) for v in fams.values())):
-        for f in sorted(fams):
-            if i < len(fams[f]):
-                names.append(fams[f][i])
+    if args.population == "statmatched":
+        import json
+
+        from loops_tpu.utils.statmatch import statmatched_battery
+        mats, sminfo = statmatched_battery(args.statmatched_k)
+        with open(os.path.join(args.out, "statmatch_info.json"), "w") as f:
+            json.dump(sminfo, f, indent=1)
+        print(f"stat-matched population: {sminfo['sampled']} sampled of "
+              f"{sminfo['eligible']} eligible "
+              f"({sminfo['eligible_frac']:.1%} of "
+              f"{sminfo['population']}); families "
+              f"{sminfo['family_counts']}", flush=True)
+        # nnz-ascending: cheap matrices stream results early
+        names = sorted(mats)
+    else:
+        mats = battery.battery(args.max_rows)
+        # interleave structure families (round-robin over the name
+        # prefix) so a budget-limited partial sweep spans every regime
+        fams = {}
+        for n in sorted(mats):
+            fams.setdefault(n.split("_")[0], []).append(n)
+        names = []
+        for i in range(max(len(v) for v in fams.values())):
+            for f in sorted(fams):
+                if i < len(fams[f]):
+                    names.append(fams[f][i])
     if args.limit:
         names = names[: args.limit]
 

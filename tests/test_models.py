@@ -423,3 +423,54 @@ def test_gatv2_fused_matches_textbook_and_trains():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses[::6]
+
+def test_gcn_masked_last_layer_matches():
+    """loss_rows= restricts the last layer's propagation to the rows
+    the loss reads (fwd AND bwd via the masked custom VJP); loss and
+    gradients must match the full model up to float reassociation."""
+    import jax
+    import numpy as np
+    import optax
+
+    from loops_tpu.models import GCN
+    from loops_tpu.models import train as T
+    from loops_tpu.models.graph import Graph
+
+    rng = np.random.default_rng(9)
+    n = 200
+    g = Graph.from_edges(rng.integers(0, n, 1200),
+                         rng.integers(0, n, 1200), n,
+                         make_undirected=True)
+    feats = rng.normal(size=(n, 16)).astype(np.float32)
+    labels = rng.integers(0, 6, n)
+    mask = (rng.random(n) < 0.55).astype(np.float32)
+
+    base = GCN(g, [16, 24, 6], dropout=0.5)
+    fast = GCN(g, [16, 24, 6], dropout=0.5, loss_rows=mask)
+    params = base.init(jax.random.PRNGKey(0))
+
+    # masked logits == full logits at the mask rows (same params)
+    full = np.asarray(base.apply(params, feats))
+    sub = np.asarray(fast.apply(params, feats, masked_output=True))
+    idx = np.nonzero(mask > 0)[0]
+    np.testing.assert_allclose(sub, full[idx], rtol=1e-5, atol=1e-5)
+
+    # identical loss + identical updated params through the train step
+    # (same dropout rng stream: the mask is drawn on the SAME shapes)
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+    step_b = jax.jit(T.make_train_step(base, opt, feats, labels, mask))
+    step_f = jax.jit(T.make_train_step(fast, opt, feats, labels, mask))
+    pb, _, _, loss_b = step_b(params, st, jax.random.PRNGKey(1))
+    pf, _, _, loss_f = step_f(params, st, jax.random.PRNGKey(1))
+    assert abs(float(loss_b) - float(loss_f)) < 1e-5
+    for lb, lf in zip(pb, pf):
+        np.testing.assert_allclose(np.asarray(lb["w"]),
+                                   np.asarray(lf["w"]),
+                                   rtol=1e-4, atol=1e-5)
+
+    # wrong rows must be rejected by the train helper
+    bad = GCN(g, [16, 24, 6], loss_rows=(mask == 0))
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        T.make_train_step(bad, opt, feats, labels, mask)
