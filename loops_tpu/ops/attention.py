@@ -148,8 +148,20 @@ class GroupedAttentionAggregate:
         # XLA issue per-ELEMENT scalar gathers (measured seconds at
         # arxiv scale); flat H*D-wide rows take the vector fast path
         hw2 = hw.reshape(n, H * D)
-        if self.dtype is not None:
-            hw2 = hw2.astype(self.dtype)
+        fused_scores = self.dtype is not None
+        if fused_scores:
+            # round-5 lever (scripts/tpu_r5_gat_levers.py, 2.8x fwd):
+            # a separate s_src[idx] gather is an H-lane-wide row gather
+            # that XLA lowers per-ELEMENT (~4x per slot); concatenating
+            # the score halves onto the feature rows makes it ride the
+            # one wide fast-path gather below for free. Scores round
+            # through bf16 with the features (the backward rounds
+            # identically, so fwd/bwd stay consistent).
+            cat = jnp.concatenate(
+                [hw2, s_src.astype(hw2.dtype)],
+                axis=1).astype(self.dtype)
+        else:
+            hw2c = hw2
         # out stays flat [N, H*D]: 3-D scatters (like 3-D gathers) hit
         # XLA's per-element slow path on TPU
         out = jnp.zeros((n, H * D), hw.dtype)
@@ -160,14 +172,28 @@ class GroupedAttentionAggregate:
             m_arr = jnp.zeros((n, H), s_src.dtype)
             den_arr = jnp.ones((n, H), s_src.dtype)
         for tiles, idx, valid in bufs["buckets"]:
-            e = s_src[idx] + s_dst[tiles][:, None, :]     # [t, p, H]
-            e = jax.nn.leaky_relu(e, slope)
-            e = jnp.where(valid[..., None], e, neg)
-            m = e.max(axis=1, keepdims=True)              # [t, 1, H]
-            z = jnp.where(valid[..., None], jnp.exp(e - m), 0.0)
-            denom = z.sum(axis=1)                         # [t, H]
             t, p = idx.shape
-            f = hw2[idx].reshape(t, p, H, D)              # [t, p, H, D]
+            if fused_scores:
+                gat = cat[idx]                            # [t,p,HD+H]
+                f = gat[..., :H * D].reshape(t, p, H, D)
+                sg = gat[..., H * D:].astype(jnp.float32)
+            else:
+                sg = s_src[idx]                           # [t, p, H]
+                f = hw2c[idx].reshape(t, p, H, D)
+            # score elementwise ops in [t, p*H] flattened-lane layout:
+            # [t, p, H] keeps H(=4) on the 128-lane axis (32x waste);
+            # merging (p, H) onto lanes measured another ~1.3x
+            sdt = jnp.broadcast_to(s_dst[tiles][:, None, :], (t, p, H))
+            vmask = jnp.broadcast_to(valid[..., None], (t, p, H))
+            e2 = (sg + sdt).reshape(t, p * H)
+            v2 = vmask.reshape(t, p * H)
+            e2 = jax.nn.leaky_relu(e2, slope)
+            e2 = jnp.where(v2, e2, neg)
+            m = e2.reshape(t, p, H).max(axis=1, keepdims=True)
+            z = jnp.where(v2, jnp.exp(
+                (e2.reshape(t, p, H) - m).reshape(t, p * H)),
+                0.0).reshape(t, p, H)
+            denom = z.sum(axis=1)                         # [t, H]
             # broadcast-mul + sum(axis=1) mirrors the group_mapped SpMM
             # plane reduce (ops/spmm.py) — measured ~2x faster than the
             # dot_general einsum lowering for this shape family
@@ -210,6 +236,9 @@ class GroupedAttentionAggregate:
         if self.dtype is not None:
             hw2 = hw2.astype(self.dtype)
             g2 = g2.astype(self.dtype)
+            # match the forward's bf16-rounded score halves exactly
+            # (the fused-gather forward rounds s_src with the features)
+            s_src = s_src.astype(self.dtype).astype(s_dst.dtype)
         c = jnp.einsum("nhd,nhd->nh", g, out)             # [N, H]
         # one packed gather per plane row for all dst-indexed stats
         R = jnp.concatenate([s_dst, m_arr, den_arr, c], axis=1)

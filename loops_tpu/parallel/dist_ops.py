@@ -185,14 +185,21 @@ class DistGCN:
     construction. Default exchange is the overlapped targeted halo."""
 
     def __init__(self, graph, dims, mesh, num_devices: int | None = None,
-                 exchange: str = "halo", overlap: bool = True):
-        from loops_tpu.models.graph import Graph
+                 exchange: str = "halo", overlap: bool = True,
+                 plan: EdgePartition | None = None):
+        if plan is not None:
+            # prebuilt partition (e.g. EdgePartition.from_shards over an
+            # out-of-core store) — the caller stages the GCN-normalized
+            # adjacency; ``graph`` is ignored
+            self.plan = plan
+        else:
+            from loops_tpu.models.graph import Graph
 
-        g = graph if isinstance(graph, Graph) else Graph(graph)
-        norm = g.gcn_normalized()
-        P_ = num_devices or int(np.prod([mesh.shape[a] for a in
-                                         mesh.axis_names]))
-        self.plan = EdgePartition.build(norm.adj, P_)
+            g = graph if isinstance(graph, Graph) else Graph(graph)
+            norm = g.gcn_normalized()
+            P_ = num_devices or int(np.prod([mesh.shape[a] for a in
+                                             mesh.axis_names]))
+            self.plan = EdgePartition.build(norm.adj, P_)
         self.mesh = mesh
         self.dims = list(dims)
         self.propagate = _build_propagate(self.plan, mesh, exchange,

@@ -180,6 +180,15 @@ def replica(m: RefMatrix, seed: int = 0) -> CSR:
     R, C, N = m.rows, m.cols, m.nnz
     N = min(N, R * C)
 
+    # dense-support shortcut: at fill > 30% (RHS-vector "_b" matrices,
+    # tiny dense blocks) rejection sampling degenerates into coupon
+    # collecting; sample cells without replacement instead (structure
+    # is immaterial at that density)
+    if R * C <= 1 << 24 and N > 0.3 * R * C:
+        rngd = np.random.default_rng(seed)
+        flat = rngd.permutation(R * C)[:N]
+        return _coo_to_csr(flat // C, flat % C, (R, C), seed)
+
     if fam == "banded":
         halfw = max(int(np.ceil(N / max(R, 1) / 2)), 1)
 

@@ -61,6 +61,10 @@ def main(argv=None):
     ap.add_argument("--max-rows", type=int, default=65536)
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--budget-s", type=float, default=0)
+    ap.add_argument("--population", choices=("synthetic", "statmatched"),
+                    default="synthetic",
+                    help="must match the schedule sweep's population")
+    ap.add_argument("--statmatched-k", type=int, default=250)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -70,17 +74,23 @@ def main(argv=None):
     from loops_tpu.utils.generate import make_input_vector
 
     os.makedirs(args.out, exist_ok=True)
-    mats = battery.battery(args.max_rows)
-    # same family-interleaved order as the schedule sweep, so partial
-    # vendor coverage aligns with partial schedule coverage
-    fams = {}
-    for n in sorted(mats):
-        fams.setdefault(n.split("_")[0], []).append(n)
-    names = []
-    for i in range(max(len(v) for v in fams.values())):
-        for f in sorted(fams):
-            if i < len(fams[f]):
-                names.append(fams[f][i])
+    if args.population == "statmatched":
+        # identical deterministic sample as sweep_battery.py's
+        from loops_tpu.utils.statmatch import statmatched_battery
+        mats, _ = statmatched_battery(args.statmatched_k)
+        names = sorted(mats)
+    else:
+        mats = battery.battery(args.max_rows)
+        # same family-interleaved order as the schedule sweep, so
+        # partial vendor coverage aligns with partial schedule coverage
+        fams = {}
+        for n in sorted(mats):
+            fams.setdefault(n.split("_")[0], []).append(n)
+        names = []
+        for i in range(max(len(v) for v in fams.values())):
+            for f in sorted(fams):
+                if i < len(fams[f]):
+                    names.append(fams[f][i])
     if args.limit:
         names = names[: args.limit]
 
