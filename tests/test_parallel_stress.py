@@ -156,3 +156,25 @@ def test_hier_hosts_mismatch_raises():
     plan = EdgePartition.build(g.adj, 8)
     with pytest.raises(ValueError):
         HierHaloPlan.build(plan, 3, 4)
+
+
+def test_from_shards_scale_1e6(tmp_path):
+    """Out-of-core glue at scale: a 1M-node graph staged to a 2-shard
+    memmapped store, assembled via EdgePartition.from_shards (no global
+    CSR), trained through the hier 2x4 exchange — matches the host
+    oracle exactly."""
+    from loops_tpu.io.shards import ShardedCSR
+    from loops_tpu.parallel.hier import DistSpMMHier
+
+    g = _random_graph(1_000_000, 2, seed=11)
+    store = ShardedCSR.build(g.adj, 2, str(tmp_path / "st"))
+    part = EdgePartition.from_shards(store, chips_per_shard=4)
+    assert part.num_devices == 8
+    assert part.row_starts[4] == store.row_starts[1]
+    hier = HierHaloPlan.build(part, 2, 4)
+    op = DistSpMMHier(hier, make_mesh_hier(2, 4))
+    X = np.random.default_rng(1).normal(
+        size=(1_000_000, 4)).astype(np.float32)
+    got = part.unpad_output(np.asarray(op(part.pad_features(X))))
+    np.testing.assert_allclose(got, reference.spmm(g.adj, X),
+                               rtol=1e-4, atol=1e-2)
