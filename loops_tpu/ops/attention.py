@@ -242,20 +242,36 @@ class GroupedAttentionAggregate:
         c = jnp.einsum("nhd,nhd->nh", g, out)             # [N, H]
         # one packed gather per plane row for all dst-indexed stats
         R = jnp.concatenate([s_dst, m_arr, den_arr, c], axis=1)
+        # round-5 lever: in bf16 mode, concatenate the stats onto the
+        # cotangent rows so the transposed planes pay ONE wide gather
+        # per slot instead of two (same fused-gather trick as the
+        # forward; m/den/c round through bf16 with everything else)
+        fuse_R = self.dtype is not None
+        if fuse_R:
+            gcat = jnp.concatenate(
+                [g2.astype(jnp.float32)
+                 if g2.dtype != jnp.float32 else g2,
+                 R], axis=1).astype(self.dtype)
 
         dhw2 = jnp.zeros((n, H * D), hw.dtype)
         ds_src = jnp.zeros_like(s_src)
         parts = []
         for tiles2, idx2, valid2 in bufs["bwd"]:
             t2, p2 = idx2.shape
-            G = g2[idx2].reshape(t2, p2, H, D)
+            if fuse_R:
+                gat2 = gcat[idx2]                         # [t,p,HD+4H]
+                G = gat2[..., :H * D].reshape(t2, p2, H, D)
+                Rg = gat2[..., H * D:].astype(jnp.float32)
+            else:
+                G = g2[idx2].reshape(t2, p2, H, D)
+                Rg = R[idx2]
             # plane math runs in [t, H, p] layout: with H=4 on the
             # 128-lane axis every VPU op pays 32x lane waste (measured
             # 84 ms for the [t,p,H]-output u2 einsum alone); the big
             # [.., H, D] reduces mirror the group_mapped SpMM's
             # broadcast-mul + axis-sum (ops/spmm.py) instead of
             # dot_general
-            RgT = R[idx2].transpose(0, 2, 1)              # [t, 4H, p]
+            RgT = Rg.transpose(0, 2, 1)                   # [t, 4H, p]
             sdst2, m2 = RgT[:, :H], RgT[:, H:2 * H]
             den2, c2 = RgT[:, 2 * H:3 * H], RgT[:, 3 * H:]
             pre2 = s_src[tiles2][:, :, None] + sdst2      # [t, H, p]

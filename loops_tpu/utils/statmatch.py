@@ -139,6 +139,25 @@ def sample_population(pop, k: int, seed: int = 0, max_nnz: int = 4_000_000,
     return uniq
 
 
+def _name_seed(name: str, seed: int = 0) -> int:
+    import zlib
+    return (zlib.crc32(name.encode()) ^ seed) & 0x7FFFFFFF
+
+
+def build_replica_by_name(nm: str, seed: int = 0,
+                          csv_path: str = REFERENCE_CSV):
+    """Rebuild the replica for a ``sm_<dataset>`` sweep name — the
+    deterministic-recipe contract the synthetic battery has
+    (utils/battery.build), for the stat-matched population."""
+    if not nm.startswith("sm_"):
+        raise KeyError(nm)
+    target = nm[3:]
+    for m in load_population(csv_path):
+        if m.name == target:
+            return replica(m, _name_seed(target, seed))
+    raise KeyError(nm)
+
+
 # ---------------------------------------------------------------- coo
 def _exact_unique_coo(draw, n_target: int, seed: int, max_iter: int = 64):
     """Draw batches of (r, c) until n_target unique pairs exist, then
@@ -241,9 +260,13 @@ def statmatched_battery(k: int = 250, seed: int = 0,
     sample = sample_population(pop, k, seed, max_nnz, max_dim)
     mats = {}
     fams = {}
-    for i, m in enumerate(sample):
+    for m in sample:
         nm = f"sm_{m.name}"
-        mats[nm] = (lambda mm=m, s=seed + i: replica(mm, s))
+        # seed keyed on the NAME (not the sample position) so a single
+        # replica can be rebuilt later (fit_heuristic features) without
+        # re-deriving the whole sample
+        mats[nm] = (lambda mm=m, s=_name_seed(m.name, seed):
+                    replica(mm, s))
         fams[nm] = m.family
     info = dict(population=len(pop), eligible=len(elig),
                 eligible_frac=round(len(elig) / max(len(pop), 1), 4),

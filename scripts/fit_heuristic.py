@@ -75,7 +75,13 @@ def main(argv=None):
         try:
             feats[ds] = features(battery.build(ds))
         except KeyError:
-            del runs[ds]   # non-battery dataset (e.g. chesapeake)
+            try:
+                # stat-matched population: sm_<dataset> names rebuild
+                # deterministically from the reference CSV row
+                from loops_tpu.utils.statmatch import build_replica_by_name
+                feats[ds] = features(build_replica_by_name(ds))
+            except (KeyError, OSError):
+                del runs[ds]   # non-battery dataset (e.g. chesapeake)
 
     names = sorted(runs)
     print(f"{len(names)} matrices with complete schedule coverage\n")

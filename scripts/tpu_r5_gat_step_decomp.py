@@ -61,7 +61,13 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--scale", type=float, default=0.25)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--only", default="",
+                   help="comma list of phase numbers to run (default all)")
     args = p.parse_args(argv)
+    only = set(int(x) for x in args.only.split(",") if x)
+
+    def want(k):
+        return not only or k in only
 
     ds = ogb.load("ogbn-arxiv", scale=args.scale)
     g = ds.graph
@@ -80,8 +86,9 @@ def main(argv=None):
     def loss_fn(pp):
         return cross_entropy(model.apply(pp, feats), labels, mask)
 
-    ms_f = slope_params_chain(loss_fn, params, args.iters)
-    print(f"[1] fwd loss:           {ms_f:8.2f} ms", flush=True)
+    if want(1):
+        ms_f = slope_params_chain(loss_fn, params, args.iters)
+        print(f"[1] fwd loss:           {ms_f:8.2f} ms", flush=True)
 
     def use_grads(val_grads):
         # consume every grad leaf so the backward cannot be DCE'd
@@ -89,10 +96,11 @@ def main(argv=None):
         leaves = jax.tree.leaves(grads)
         return val + sum(jnp.ravel(l)[0] for l in leaves) * 0
 
-    vg = jax.value_and_grad(loss_fn)
-    ms_b = slope_params_chain(lambda pp: use_grads(vg(pp)), params,
-                              args.iters)
-    print(f"[2] fwd+bwd:            {ms_b:8.2f} ms", flush=True)
+    if want(2):
+        vg = jax.value_and_grad(loss_fn)
+        ms_b = slope_params_chain(lambda pp: use_grads(vg(pp)), params,
+                                  args.iters)
+        print(f"[2] fwd+bwd:            {ms_b:8.2f} ms", flush=True)
 
     # attention stubbed to a row-constant op: everything BUT attention
     class _Stub:
@@ -105,13 +113,15 @@ def main(argv=None):
 
     def loss_stub(pp):
         return cross_entropy(model_stub.apply(pp, feats), labels, mask)
-    ms_sf = slope_params_chain(loss_stub, params, args.iters)
-    vg_s = jax.value_and_grad(loss_stub)
-    ms_sb = slope_params_chain(lambda pp: use_grads(vg_s(pp)), params,
-                               args.iters)
-    print(f"[3] stub fwd loss:      {ms_sf:8.2f} ms (dense tier only)",
-          flush=True)
-    print(f"[4] stub fwd+bwd:       {ms_sb:8.2f} ms", flush=True)
+    if want(3):
+        ms_sf = slope_params_chain(loss_stub, params, args.iters)
+        print(f"[3] stub fwd loss:      {ms_sf:8.2f} ms (dense tier only)",
+              flush=True)
+    if want(4):
+        vg_s = jax.value_and_grad(loss_stub)
+        ms_sb = slope_params_chain(lambda pp: use_grads(vg_s(pp)), params,
+                                   args.iters)
+        print(f"[4] stub fwd+bwd:       {ms_sb:8.2f} ms", flush=True)
 
     # the two attention layers alone, fwd (custom-vjp path, res form)
     op = model._fused_op
@@ -124,17 +134,19 @@ def main(argv=None):
     def att1(pp):
         o = op.apply(s1, s1, hw1)
         return jnp.ravel(o)[0]
-    ms_a1 = slope_params_chain(att1, params, args.iters)
-    print(f"[5] attention L1 f+v:   {ms_a1:8.2f} ms "
-          f"(apply only, custom-vjp fwd)", flush=True)
+    if want(5):
+        ms_a1 = slope_params_chain(att1, params, args.iters)
+        print(f"[5] attention L1 f+v:   {ms_a1:8.2f} ms "
+              f"(apply only, custom-vjp fwd)", flush=True)
 
     def att1g(pp):
         def f(s, hwv):
             return jnp.sum(op.apply(s, s, hwv))
         val, gs = jax.value_and_grad(f, argnums=(0, 1))(s1, hw1)
         return val + sum(jnp.ravel(g_)[0] for g_ in gs) * 0
-    ms_a1g = slope_params_chain(att1g, params, args.iters)
-    print(f"[6] attention L1 fwd+bwd: {ms_a1g:6.2f} ms", flush=True)
+    if want(6):
+        ms_a1g = slope_params_chain(att1g, params, args.iters)
+        print(f"[6] attention L1 fwd+bwd: {ms_a1g:6.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
