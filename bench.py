@@ -204,6 +204,16 @@ def main():
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
+    # launch-box provenance (VERDICT r4 weak #8): say whether this
+    # device's tuning row was measured on its silicon, autotuned at
+    # first use, or is a spec-sheet estimate
+    log(f"# launch box: spmv_block={params.spmv_block} "
+        f"block_f={params.spmm_block_f} ({params.provenance})")
+    extras.append({"metric": "launch_box_provenance",
+                   "value": params.provenance,
+                   "spmv_block": params.spmv_block,
+                   "spmm_block_f": params.spmm_block_f})
+
     # 1 — measured achievable bandwidth
     bw = measure_stream_gbps()
     log(f"# stream read: {bw:.1f} GB/s achievable "
@@ -333,21 +343,29 @@ def main():
         # Long chains: at ~1 ms/apply the default hi=20 delta (~16 ms)
         # sits below the ~25 ms dispatch-RTT noise floor
         tb = time.perf_counter()
-        op_s = SpMVOperator(csr_v, "sorted_flat")
+        # persistent plan-artifact cache (io/plan_cache.py): the
+        # sort-bound staging is paid once per matrix EVER — cold runs
+        # record the build, warm runs record the ~66 ms npz load
+        op_s = SpMVOperator(csr_v, "sorted_flat",
+                            plan_cache=".plan_cache")
         build_ms = (time.perf_counter() - tb) * 1e3
         # host plan cost (sort + chunk + Benes route, excl. upload) —
         # the preprocess the reference's returned timer separates out
         # (merge_path_flat.cuh:97-138); amortized over every apply
         plan_ms = op_s.meta.get("plan_ms", -1.0)
+        plan_source = op_s.meta.get("plan_source", "built")
         _ = np.asarray(op_s._fn(x))
         m, md = slope_chain_ms(op_s._fn, x, lo=104, hi=404, repeats=3)
         extras.append({"metric": "spmv_sorted_ms",
                        "value": round(m, 4), "unit": "ms",
                        "nnz": int(csr_v.nnz), "ms_median": round(md, 4),
                        "plan_ms": round(float(plan_ms), 1),
+                       "plan_source": plan_source,
+                       "built_plan_ms": round(float(
+                           op_s.meta.get("built_plan_ms") or plan_ms), 1),
                        "build_ms_incl_upload": round(build_ms, 1)})
         log(f"# spmv sorted-flat: {m:.3f} ms ({csr_v.nnz:,} nnz; "
-            f"plan {float(plan_ms):.0f} ms host)")
+            f"plan {float(plan_ms):.0f} ms host, {plan_source})")
 
         # BCSR register-accumulate SpMV, same matrix family as the SpMM
         csr_b, bcsr_b = build_block_sparse(N=32768, R=8, C=128,
