@@ -252,11 +252,17 @@ class FlatBlockPlan:
 # mix group_mapped:75 / work_oriented:29 / merge_path:9, 1.07x over
 # the best fixed — preserved in fit_heuristic's four-schedule study.
 HEURISTIC_THRESHOLDS = {
-    "ratio": 1.25,  # max_tile/mean_tile above which skew branch fires
-    "cv": 0.125,    # coefficient of variation above which skew branch
+    # round-5 refit on the 183-matrix stat-matched SuiteSparse
+    # population (scripts/fit_heuristic.py on sweep_logs_sm): the
+    # always-sorted router captured 82.4% of the oracle there; routing
+    # only EXTREME degree skew (cv > 4 — circuit/hub matrices) to the
+    # group_mapped planes lifts capture to 89.8%. The ratio branch is
+    # fitted shut (inf); small-tile branch stays shut (0).
+    "ratio": float("inf"),
+    "cv": 4.0,      # coefficient of variation above which skew branch
     "small": 0.0,   # max tile size at or below which -> row_mapped
-    "flat": "sorted_flat",   # uniform non-tiny tiles
-    "group": "sorted_flat",  # skewed tiles
+    "flat": "sorted_flat",    # uniform/mild tiles
+    "group": "group_mapped",  # extreme-skew tiles
 }
 
 # The sorted_flat picks above are fitted ON-CHIP (v5e). Off-TPU the
