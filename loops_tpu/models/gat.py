@@ -79,11 +79,20 @@ class GAT:
         src, dst, n = self._src, self._dst, self._n
         for li, layer in enumerate(params):
             d_out = layer["a_src"].shape[1]
+            d_in = layer["w"].shape[0]
             hw = (h @ layer["w"]).reshape(-1, H, d_out)     # [N, H, D]
             # per-node attention logits (factorized SDDMM: the edge dot
-            # <a, [Wh_i || Wh_j]> splits into src/dst halves)
-            s_src = jnp.einsum("nhd,hd->nh", hw, layer["a_src"])
-            s_dst = jnp.einsum("nhd,hd->nh", hw, layer["a_dst"])
+            # <a, [Wh_i || Wh_j]> splits into src/dst halves). Folded
+            # param-side: s_src[n,h] = sum_d (hW)[n,h,d] a_src[h,d]
+            #           = h @ V_src with V_src[:,h] = W_h @ a_src[h] —
+            # one [N,d_in]x[d_in,H] matmul instead of an [N,H,D] einsum
+            # whose 4-lane-minor layout (and its VJP broadcasts) sat in
+            # the train step's autodiff glue (tpu-performance.md §8)
+            w3 = layer["w"].reshape(d_in, H, d_out)
+            v_src = jnp.einsum("ihd,hd->ih", w3, layer["a_src"])
+            v_dst = jnp.einsum("ihd,hd->ih", w3, layer["a_dst"])
+            s_src = h @ v_src
+            s_dst = h @ v_dst
             if self.fused:
                 # custom-VJP apply: backward runs forward-style over
                 # the transposed plan (ops/attention.py _bwd_fn)

@@ -87,6 +87,16 @@ def sorted_spmv_plan(csr, plan=None, *, vregs_per_block: int = 8,
     _t_plan0 = _time.perf_counter()
     rows, cols_n = csr.shape
     N = int(csr.nnz)
+    if N > 0 and (min(rows, cols_n) < 4 or N < 4):
+        # degenerate matrices (1-3 nonzeros or vector-like 1 x 1182 /
+        # 18 x 1 shapes) crash the remote Mosaic compile on their
+        # 1-row grids — and the XLA path is already optimal there.
+        # Refuse cleanly; callers fall back (measured on the
+        # stat-matched sweep: the only 3 non-completions in 183
+        # matrices were this class).
+        raise ValueError(
+            f"degenerate shape {rows}x{cols_n} / {N} nnz: below the "
+            "sorted-gather kernel's envelope; the XLA path is optimal")
     VB = int(vregs_per_block)
     K = VB * 8 * LANES          # atoms per group
     SUB = VB * 8
