@@ -487,7 +487,11 @@ def sorted_spmv_bind(arrays, params, *, interpret: bool | None = None):
                    # plan came from the disk cache this is the (much
                    # smaller) load time — see plan_source.
                    plan_ms=params.get("plan_ms"),
-                   plan_source=params.get("plan_source", "built"))
+                   plan_source=params.get("plan_source", "built"),
+                   # original staging cost when the plan came from the
+                   # cache (the load time lives in plan_ms then)
+                   built_plan_ms=params.get("built_plan_ms",
+                                            params.get("plan_ms")))
     return bufs, fn
 
 
