@@ -172,6 +172,8 @@ def main(argv=None):
                          "labeled synthetic battery")
     ap.add_argument("--statmatched-k", type=int, default=250,
                     help="sample size for --population statmatched")
+    ap.add_argument("--statmatched-seed", type=int, default=0,
+                    help="sample seed (replication studies)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -185,7 +187,8 @@ def main(argv=None):
         import json
 
         from loops_tpu.utils.statmatch import statmatched_battery
-        mats, sminfo = statmatched_battery(args.statmatched_k)
+        mats, sminfo = statmatched_battery(args.statmatched_k,
+                                           seed=args.statmatched_seed)
         with open(os.path.join(args.out, "statmatch_info.json"), "w") as f:
             json.dump(sminfo, f, indent=1)
         print(f"stat-matched population: {sminfo['sampled']} sampled of "

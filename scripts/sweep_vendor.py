@@ -65,6 +65,7 @@ def main(argv=None):
                     default="synthetic",
                     help="must match the schedule sweep's population")
     ap.add_argument("--statmatched-k", type=int, default=250)
+    ap.add_argument("--statmatched-seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -77,7 +78,8 @@ def main(argv=None):
     if args.population == "statmatched":
         # identical deterministic sample as sweep_battery.py's
         from loops_tpu.utils.statmatch import statmatched_battery
-        mats, _ = statmatched_battery(args.statmatched_k)
+        mats, _ = statmatched_battery(args.statmatched_k,
+                                      seed=args.statmatched_seed)
         names = sorted(mats)
     else:
         mats = battery.battery(args.max_rows)
